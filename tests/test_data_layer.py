@@ -1,0 +1,219 @@
+import os
+
+import numpy as np
+import pytest
+
+from pytorch_video_action_tpu import TARGET_PAD
+from pytorch_video_action_tpu.data import (
+    BatchFeed,
+    BucketBatchSampler,
+    VideoDataset,
+    bucket_length,
+    exclude_label,
+    load_class_mapping,
+    pad_batch,
+    strip_bundle_prefix,
+)
+from pytorch_video_action_tpu.utils.runlength import (
+    run_length_segments,
+    segment_label_sequence,
+    split_into_segments,
+)
+
+
+def test_strip_bundle_prefix():
+    assert (
+        strip_bundle_prefix("./data/groundTruth/P16_cam01_P16_cereals.txt")
+        == "P16_cam01_P16_cereals.txt"
+    )
+
+
+def test_class_mapping(synthetic_root):
+    m = load_class_mapping(str(synthetic_root))
+    assert m.n_class == 5
+    assert m.class_ids["SIL"] == 0
+    assert m.class_names[1] == "pour_cereals"
+
+
+def test_run_length_segments():
+    labels = [1, 1, 2, 2, 2, 0, 3]
+    seg, bounds = run_length_segments(labels)
+    assert seg == [1, 2, 0, 3]
+    assert bounds == [0, 2, 5, 6, 7]
+    assert segment_label_sequence(labels) == [1, 2, 0, 3]
+
+
+def test_split_into_segments():
+    frames = np.arange(14).reshape(7, 2)
+    labels = [1, 1, 2, 2, 2, 0, 3]
+    clips, seg_labels, bounds = split_into_segments(frames, labels)
+    assert [c.shape[0] for c in clips] == [2, 3, 1, 1]
+    assert seg_labels == [1, 2, 0, 3]
+    np.testing.assert_array_equal(clips[1], frames[2:5])
+
+
+def test_exclude_label():
+    feats = [np.arange(10).reshape(5, 2)]
+    labels = [np.array([0, 1, 0, 2, 0])]
+    f2, l2 = exclude_label(feats, labels, 0)
+    np.testing.assert_array_equal(l2[0], [1, 2])
+    np.testing.assert_array_equal(f2[0], feats[0][[1, 3]])
+
+
+def test_dataset_modes(synthetic_root):
+    ds_cont = VideoDataset(
+        data_dir=os.path.join(str(synthetic_root), "data"),
+        annot_path=str(synthetic_root),
+        part="train",
+        split=0,
+        mode="cont",
+        cache_dir=os.path.join(str(synthetic_root), "cache-cont"),
+        verbose=False,
+    )
+    ds_active = VideoDataset(
+        data_dir=os.path.join(str(synthetic_root), "data"),
+        annot_path=str(synthetic_root),
+        part="train",
+        split=0,
+        mode="active",
+        cache_dir=os.path.join(str(synthetic_root), "cache-active"),
+        verbose=False,
+    )
+    assert len(ds_cont) == len(ds_active) == 8
+    # active mode removes all SIL frames
+    for _, labels in (ds_active[i] for i in range(len(ds_active))):
+        assert (labels != 0).all()
+    # cont keeps SIL
+    assert any((ds_cont[i][1] == 0).any() for i in range(len(ds_cont)))
+
+    ds_seg = VideoDataset(
+        data_dir=os.path.join(str(synthetic_root), "data"),
+        annot_path=str(synthetic_root),
+        part="train",
+        split=0,
+        mode="segment",
+        cache_dir=os.path.join(str(synthetic_root), "cache-seg"),
+        verbose=False,
+    )
+    # every segment instance has a single constant label
+    assert len(ds_seg) > len(ds_active)
+    for i in range(len(ds_seg)):
+        _, lab = ds_seg[i]
+        assert lab.size >= 1
+
+
+def test_dataset_cache_roundtrip(synthetic_root, tmp_path):
+    cache = str(tmp_path / "cache")
+    kw = dict(
+        data_dir=os.path.join(str(synthetic_root), "data"),
+        annot_path=str(synthetic_root),
+        part="dev",
+        split=0,
+        mode="cont",
+        cache_dir=cache,
+        verbose=False,
+    )
+    ds1 = VideoDataset(**kw)
+    ds2 = VideoDataset(**kw)  # second load goes through the npy cache
+    assert len(ds1) == len(ds2)
+    for i in range(len(ds1)):
+        np.testing.assert_allclose(ds1[i][0], ds2[i][0], rtol=1e-6)
+        np.testing.assert_array_equal(ds1[i][1], ds2[i][1])
+
+
+def test_dataset_test_part(synthetic_root):
+    ds = VideoDataset(
+        data_dir=os.path.join(str(synthetic_root), "data"),
+        annot_path=str(synthetic_root),
+        part="test",
+        split=1,
+        mode=None,
+        cache_dir=os.path.join(str(synthetic_root), "cache-test"),
+        verbose=False,
+    )
+    assert len(ds) == 4
+    # boundaries re-based to 0 and features sliced to the segment extent
+    for i in range(len(ds)):
+        segs = ds.segment_lines[i]
+        assert segs[0] == 0
+        assert ds.features[i].shape[0] == segs[-1]
+
+
+def test_bucket_length():
+    assert bucket_length(1) == 128
+    assert bucket_length(128) == 128
+    assert bucket_length(129) == 256
+    assert bucket_length(300, bucket_multiple=1) == 300
+    assert bucket_length(0, bucket_multiple=1) == 1
+
+
+def test_pad_batch_cont():
+    x1 = np.ones((3, 400), dtype=np.float32)
+    x2 = 2 * np.ones((5, 400), dtype=np.float32)
+    y1 = np.array([1, 2, 2])
+    y2 = np.array([3, 3, 3, 4, 4])
+    padded, lengths, targets, mask = pad_batch(
+        [(x1, y1), (x2, y2)], pred_mode="cont", bucket_multiple=8
+    )
+    assert padded.shape == (2, 8, 400)
+    np.testing.assert_array_equal(lengths, [3, 5])
+    targets = targets.reshape(2, 8)
+    np.testing.assert_array_equal(targets[0], [1, 2, 2, -1, -1, -1, -1, -1])
+    np.testing.assert_array_equal(targets[1], [3, 3, 3, 4, 4, -1, -1, -1])
+    assert mask.sum() == 8
+    assert padded[0, 3:].sum() == 0  # zero padding
+
+
+def test_pad_batch_segment_modes():
+    x = np.ones((4, 400), dtype=np.float32)
+    y = np.array([7])
+    # segment train-mode with cont prediction: label repeated over frames
+    _, _, targets, _ = pad_batch(
+        [(x, y)], pred_mode="cont", train_mode="segment", bucket_multiple=8
+    )
+    np.testing.assert_array_equal(targets.reshape(-1)[:4], [7, 7, 7, 7])
+    assert (targets.reshape(-1)[4:] == TARGET_PAD).all()
+    # last/avg prediction: one target per instance
+    _, _, targets, _ = pad_batch(
+        [(x, y)], pred_mode="last", train_mode="segment", bucket_multiple=8
+    )
+    assert targets.shape == (1,)
+    assert targets[0] == 7
+
+
+def test_bucket_batch_sampler():
+    lengths = [3, 3, 3, 5, 5, 7, 7, 7, 7, 9]
+    inputs = [np.zeros((l, 1)) for l in lengths]
+    sampler = BucketBatchSampler(inputs, batch_size=4, seed=0)
+    batches = list(sampler)
+    assert all(len(b) == 4 for b in batches)
+    # duplicate-padding: total indices is a multiple of batch size
+    flat = [i for b in batches for i in b]
+    assert len(flat) % 4 == 0
+    assert set(flat) == set(range(10))  # every sample appears
+    # fresh composition per epoch by default
+    sampler2 = BucketBatchSampler(inputs, batch_size=4, seed=0, freeze_composition=True)
+    first = list(sampler2)
+    second = list(sampler2)
+    assert sorted(map(tuple, first)) == sorted(map(tuple, second))
+
+
+def test_batch_feed(synthetic_root):
+    ds = VideoDataset(
+        data_dir=os.path.join(str(synthetic_root), "data"),
+        annot_path=str(synthetic_root),
+        part="train",
+        split=0,
+        mode="active",
+        cache_dir=os.path.join(str(synthetic_root), "cache-feed"),
+        verbose=False,
+    )
+    sampler = BucketBatchSampler(ds.features, batch_size=2, seed=0)
+    feed = BatchFeed(ds, batch_sampler=sampler, bucket_multiple=16)
+    n = 0
+    for padded, lengths, targets, mask in feed:
+        assert padded.shape[0] == 2
+        assert padded.shape[1] % 16 == 0
+        assert mask.shape == padded.shape[:2]
+        n += 1
+    assert n == len(feed)
