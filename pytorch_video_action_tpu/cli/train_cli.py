@@ -1,0 +1,199 @@
+"""``train.py`` CLI — flag-compatible with the reference (``train.py:14-68``),
+plus TPU-native extras (bucketing, sharding, pallas, resume)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+import numpy as np
+
+from .. import TARGET_PAD
+from ..data import BatchFeed, BucketBatchSampler, VideoDataset
+from ..models import build_model
+from ..train import checkpoint as ckpt
+from ..train.loop import Trainer, evaluate
+
+
+def parse_arguments(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--batchsize', dest='batchsize', type=int,
+                        default=1, help='learning minibatch size')
+    parser.add_argument('--epoch', dest='epoch', type=int, default=10,
+                        help='epoch')
+    parser.add_argument('--split', dest='split', type=int, default=0,
+                        help='split')
+    parser.add_argument('--lr', dest='lr', type=float, default=0.001,
+                        help='learning rate')
+    parser.add_argument('--lr_step_size', dest='lr_step_size', type=int,
+                        default=30, help='learning rate')
+    parser.add_argument('--lr_gamma', dest='lr_gamma', type=float, default=1,
+                        help='learning rate')
+    parser.add_argument('--num_workers', dest='num_workers', type=int,
+                        default=0, help='[kept for CLI compat; data is fed '
+                        'from host RAM, no worker processes]')
+    parser.add_argument('--model', dest='model', default='simple_fc',
+                        choices=['simple_fc', 'vanilla_lstm', 'bilstm',
+                                 'bilstm_lm', 'attn', 'win_attn',
+                                 'bigru', 'ms_tcn', 'ctcloss'],
+                        help='Choose the type of model for learning')
+    parser.add_argument('--pretrained_model', dest='pretrained_model',
+                        default=None, help='pretrained_model file name')
+    parser.add_argument('--train_mode', dest='train_mode', default='active',
+                        choices=['segment', 'active', 'cont'],
+                        help='segment: one instance = 1 segment; active: '
+                             'video with SIL removed; cont: whole video')
+    parser.add_argument('--pred_mode', dest='pred_mode', default='cont',
+                        choices=['last', 'avg', 'cont'],
+                        help='Classification for segment train-mode')
+    parser.add_argument('--load_all', type=bool, nargs='?', const=True,
+                        default=True,
+                        help='[Deprecated] Now enforced to use --load_all')
+    parser.add_argument('--eval', type=bool, nargs='?', const=True,
+                        default=False,
+                        help='Only evaluating model, not training')
+    parser.add_argument('--lm_path', dest='lm_path', default=None,
+                        help='Path to the language model for beam search decoding')
+    parser.add_argument('--beam_size', dest='beam_size', type=int, default=5,
+                        help='beam_size')
+    parser.add_argument('--attn_head', dest='attn_head', type=int, default=4,
+                        help='Number of head in MultiHeadAttention')
+    parser.add_argument('--lstm_layer', dest='lstm_layer', type=int, default=2,
+                        help='Number of LSTM layer')
+    parser.add_argument('--lstm_dropout', dest='lstm_dropout', type=float,
+                        default=0.5, help='Dropout rate of LSTM layer')
+    parser.add_argument('--lstm_hidden1', dest='lstm_hidden1', type=int,
+                        default=256, help='Number of LSTM Hidden neurons')
+    parser.add_argument('--lstm_hidden2', dest='lstm_hidden2', type=int,
+                        default=64, help='Number of linear hidden neuron')
+    # --- TPU-native extras (not in the reference CLI) ---
+    parser.add_argument('--data_dir', default='./data')
+    parser.add_argument('--annot_path', default='.')
+    parser.add_argument('--bucket_multiple', type=int, default=128,
+                        help='Pad sequence length up to a multiple of this '
+                             '(bounds XLA compile count); 1 = exact-length '
+                             'parity bucketing')
+    parser.add_argument('--use_pallas', type=bool, nargs='?', const=True,
+                        default=False, help='Use Pallas TPU kernels where available')
+    parser.add_argument('--data_parallel', type=int, default=0,
+                        help='Shard the batch over this many devices (0 = off)')
+    parser.add_argument('--seed', type=int, default=0)
+    parser.add_argument('--resume', default=None,
+                        help='Resume bundle path (params+optimizer+epoch)')
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_arguments(argv)
+    os.makedirs("models", exist_ok=True)
+
+    train_dataset = VideoDataset(
+        data_dir=args.data_dir, annot_path=args.annot_path, part='train',
+        load_all=args.load_all, split=args.split, mode=args.train_mode,
+    )
+    dev_dataset = VideoDataset(
+        data_dir=args.data_dir, annot_path=args.annot_path, part='dev',
+        load_all=args.load_all, split=args.split, mode=args.train_mode,
+    )
+    class_info = train_dataset.get_class_info()
+    n_class = len(class_info['class_names'])
+
+    sampler = BucketBatchSampler(
+        train_dataset.features, args.batchsize, seed=args.seed
+    )
+    train_feed = BatchFeed(
+        train_dataset, batch_sampler=sampler,
+        pred_mode=args.pred_mode, train_mode=args.train_mode,
+        bucket_multiple=args.bucket_multiple,
+    )
+    dev_feed = BatchFeed(
+        dev_dataset, batch_size=max(args.batchsize, 1),
+        pred_mode=args.pred_mode, train_mode=args.train_mode,
+        bucket_multiple=args.bucket_multiple,
+    )
+
+    model = build_model(
+        args.model, n_class,
+        pred_mode=args.pred_mode,
+        lstm_layer=args.lstm_layer,
+        lstm_dropout=args.lstm_dropout,
+        lstm_hidden1=args.lstm_hidden1,
+        lstm_hidden2=args.lstm_hidden2,
+        attn_head=args.attn_head,
+        use_pallas=args.use_pallas,
+    )
+
+    sharding = None
+    if args.data_parallel > 1:
+        from ..parallel import DataParallel
+
+        sharding = DataParallel(args.data_parallel)
+
+    trainer = Trainer(
+        model, n_class,
+        lr=args.lr, lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
+        seed=args.seed, sharding=sharding,
+    )
+    ts = trainer.init_state()
+
+    if args.pretrained_model is not None:
+        model_path = os.path.join('models', f'{args.pretrained_model}.npz')
+        ts.params = ckpt.load_params(model_path)
+        print(f'Loaded pretrained model: {model_path}')
+    if args.resume is not None and os.path.exists(args.resume):
+        bundle = ckpt.load_resume(args.resume)
+        ts.params, ts.opt_state = bundle['params'], bundle['opt_state']
+        ts.epoch = bundle['epoch']
+        print(f"Resumed from {args.resume} at epoch {ts.epoch}")
+
+    if args.eval:
+        if args.pretrained_model is None:
+            print('[ERROR] Please provide the model path with '
+                  '--pretrained_model <model_path>')
+            print('Exiting.')
+            return
+        if args.lm_path is not None:
+            from ..infer.beam import eval_beam_search
+
+            dev_acc, frame_acc = eval_beam_search(
+                model, ts.params, dev_feed, args.lm_path, args.beam_size
+            )
+        else:
+            dev_acc, frame_acc = evaluate(model, ts.params, dev_feed, ts.model_state)
+        print('Dev accuracy by frame: {:.3f}'.format(frame_acc))
+        print('Dev accuracy by segment: {:.3f}'.format(dev_acc))
+        return
+
+    previous_dev = 0.0
+    for epoch in range(ts.epoch, args.epoch):
+        ts.epoch = epoch
+        trainer.start_epoch(ts)
+        start = datetime.now()
+        running_loss = 0.0
+        n_batches = 0
+        print('Starting Epoch #{}, {} iterations'.format(
+            epoch + 1, len(train_feed)))
+        for batch in train_feed:
+            loss = trainer.train_step(ts, batch)
+            running_loss += float(loss)
+            n_batches += 1
+        delta_time = (datetime.now() - start).seconds / 60.0
+        print('[%d, %5d] Train loss: %.3f (%.3f mins)' % (
+            epoch + 1, n_batches, running_loss / max(n_batches - 1, 1),
+            delta_time))
+        dev_acc, frame_acc = evaluate(model, ts.params, dev_feed, ts.model_state)
+        print('Dev accuracy by frame: {:.3f}'.format(frame_acc))
+        print('Dev accuracy by segment: {:.3f} (Current best: {:.3f})'.format(
+            dev_acc, previous_dev))
+        if dev_acc > previous_dev:
+            print('{} ==> {}'.format(dev_acc, previous_dev))
+            model_path = 'models/{}.npz'.format(
+                ckpt.checkpoint_name(args.model, dev_acc))
+            ckpt.save_params(model_path, ts.params)
+            previous_dev = dev_acc
+        if args.resume is not None:
+            ckpt.save_resume(args.resume, ts.params, ts.opt_state, epoch + 1)
+
+    print('Finished Training, Dev Accuracy: ', previous_dev)
+    return previous_dev

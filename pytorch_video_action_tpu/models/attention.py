@@ -1,0 +1,167 @@
+"""Attention models: MultiHeadAttention (``attn``) and ExpWindowAttention
+(``win_attn``).
+
+References: ``networks.py:169-203`` and ``networks.py:205-240``.
+
+The reference's ``nn.MultiheadAttention`` attends over padded frames (no
+key_padding_mask) which is harmless under its exact-length batch-1 bucketing;
+with bucket-rounded padding we mask padded keys so the semantics match the
+reference's *effective* behavior.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.masking import length_mask, masked_mean, take_last_valid
+from ..ops.rnn import gru_apply, init_rnn
+from .common import dropout, init_linear, linear, log_softmax, split_rng
+
+
+def init_mha(rng, embed_dim: int) -> dict:
+    """torch.nn.MultiheadAttention init: xavier-uniform packed qkv projection,
+    zero biases; out-proj weight keeps the Linear default init."""
+    r1, r2 = jax.random.split(rng)
+    bound = jnp.sqrt(6.0 / (4.0 * embed_dim))  # xavier on [3E, E]
+    k = 1.0 / jnp.sqrt(embed_dim)
+    return {
+        "in_proj_w": jax.random.uniform(
+            r1, (embed_dim, 3 * embed_dim), minval=-bound, maxval=bound
+        ),
+        "in_proj_b": jnp.zeros((3 * embed_dim,)),
+        "out_proj_w": jax.random.uniform(
+            r2, (embed_dim, embed_dim), minval=-k, maxval=k
+        ),
+        "out_proj_b": jnp.zeros((embed_dim,)),
+    }
+
+
+def mha_self_attention(
+    p: dict,
+    x: jax.Array,
+    num_heads: int,
+    *,
+    key_mask: jax.Array | None = None,
+    dropout_rate: float = 0.0,
+    train: bool = False,
+    rng=None,
+):
+    """Self-attention over ``x [B, T, E]`` with optional key padding mask."""
+    b, t, e = x.shape
+    hd = e // num_heads
+    qkv = x @ p["in_proj_w"] + p["in_proj_b"]
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+
+    def heads(z):  # [B, T, E] -> [B, H, T, hd]
+        return z.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
+
+    q, k, v = heads(q) / jnp.sqrt(hd).astype(x.dtype), heads(k), heads(v)
+    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+    if key_mask is not None:
+        scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
+    attn = jax.nn.softmax(scores, axis=-1)
+    attn = dropout(rng, attn, dropout_rate, train)
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    out = out.transpose(0, 2, 1, 3).reshape(b, t, e)
+    return out @ p["out_proj_w"] + p["out_proj_b"]
+
+
+# ----------------------------------------------------------------- attn model
+
+
+@dataclass(frozen=True)
+class AttnConfig:
+    input_dim: int = 400
+    num_heads: int = 4
+    hidden_dim: int = 256
+    dropout_rate: float = 0.3
+    n_class: int = 48
+    mode: str = "cont"
+
+
+def init_attn(rng, cfg: AttnConfig) -> dict:
+    r1, r2, r3 = jax.random.split(rng, 3)
+    return {
+        "attention": init_mha(r1, cfg.input_dim),
+        "rnn": init_rnn(
+            r2, cfg.input_dim, cfg.hidden_dim // 2, 1, bidirectional=True, n_gates=3
+        ),
+        "output": init_linear(r3, cfg.hidden_dim, cfg.n_class),
+    }
+
+
+def apply_attn(params, cfg: AttnConfig, x, lengths, *, train=False, rng=None):
+    r_attn, r_rnn = split_rng(rng, 2)
+    mask = length_mask(lengths, x.shape[1])
+    h = mha_self_attention(
+        params["attention"], x, cfg.num_heads,
+        key_mask=mask, dropout_rate=cfg.dropout_rate, train=train, rng=r_attn,
+    )
+    h = gru_apply(
+        params["rnn"], h, lengths, cfg.hidden_dim // 2,
+        bidirectional=True, dropout_rate=0.0, train=train, rng=r_rnn,
+    )
+    if cfg.mode == "last":
+        h = take_last_valid(h, lengths)
+    elif cfg.mode == "avg":
+        h = masked_mean(h, mask)
+    return log_softmax(linear(params["output"], jax.nn.relu(h)))
+
+
+# ------------------------------------------------------------------- win_attn
+
+
+@dataclass(frozen=True)
+class WinAttnConfig:
+    input_dim: int = 400
+    num_heads: int = 4
+    n_class: int = 48
+    dropout_rate: float = 0.3
+    window_size: int = 5
+
+
+def init_win_attn(rng, cfg: WinAttnConfig) -> dict:
+    r1, r2, r3 = jax.random.split(rng, 3)
+    return {
+        "attention": init_mha(r1, cfg.input_dim),
+        "output": init_linear(r2, cfg.input_dim, cfg.n_class),
+        # declared in the reference but unused in its forward (networks.py:215)
+        "combine_output": init_linear(
+            r3, cfg.n_class * (cfg.window_size + 1), cfg.n_class
+        ),
+    }
+
+
+def apply_win_attn(params, cfg: WinAttnConfig, x, lengths, *, train=False, rng=None):
+    """Strided windowed attention (reference ``networks.py:217-240``): for
+    ``f in range(w, T, w)`` attend over frames ``[f-w, f+w+1)`` and write class
+    scores only at row ``f - w``; all other rows stay zero before the final
+    log_softmax.  Windows are gathered into one batched attention call — a
+    single MXU-friendly einsum instead of the reference's per-window Python
+    loop."""
+    del lengths
+    b, t, e = x.shape
+    w = cfg.window_size
+    xp = jnp.pad(x, ((0, 0), (0, w), (0, 0)))
+    centers = jnp.arange(w, t, w)  # static — t is a compile-time shape
+    n_win = centers.shape[0]
+    if n_win == 0:
+        flat = jnp.zeros((b, t, cfg.n_class), x.dtype)
+        return log_softmax(flat)
+    # windows: [B * n_win, 2w+1, E]
+    offs = jnp.arange(-w, w + 1)
+    idx = centers[:, None] + offs[None, :]  # [n_win, 2w+1]
+    win = xp[:, idx, :]  # [B, n_win, 2w+1, E]
+    win = win.reshape(b * n_win, 2 * w + 1, e)
+    feat = mha_self_attention(
+        params["attention"], win, cfg.num_heads,
+        dropout_rate=cfg.dropout_rate, train=train, rng=rng,
+    )
+    center_feat = feat[:, w, :].reshape(b, n_win, e)
+    probs = linear(params["output"], center_feat)  # [B, n_win, C]
+    out = jnp.zeros((b, t, cfg.n_class), x.dtype)
+    out = out.at[:, centers - w, :].set(probs)
+    return log_softmax(out)

@@ -1,0 +1,88 @@
+"""MS-TCN: multi-stage temporal convolutional network.
+
+Reference: ``networks.py:298-347``.  Stage 1 runs on raw features; 3
+refinement stages run on the softmaxed predictions of the previous stage; the
+final output is the **element-wise max of logits across stages**
+(``networks.py:317-319`` — a deviation from canonical MS-TCN, preserved).
+Each stage: 1x1 conv -> 20 dilated residual layers (dilation 2^i) -> 1x1 conv,
+all frame-masked.  Returns raw logits (trained with CE, ``train.py:266-267``).
+
+TPU design: convs run in ``[B, T, C]`` (NWC) layout via
+``lax.conv_general_dilated`` so the K*Cin x Cout contraction lands on the MXU;
+a Pallas fused residual-layer kernel (ops/conv_pallas.py) can replace the
+dilated conv + relu + 1x1 + dropout + residual + mask chain to cut HBM
+round-trips across the 80 layers.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.conv import conv1d, dilated_residual_layer, init_conv1d
+from ..ops.masking import length_mask
+from .common import split_rng
+
+
+@dataclass(frozen=True)
+class MSTCNConfig:
+    dim: int = 400
+    num_stages: int = 4
+    num_layers: int = 20
+    num_f_maps: int = 64
+    n_class: int = 48
+    dropout_rate: float = 0.5
+    use_pallas: bool = False
+
+
+def _init_stage(rng, num_layers, num_f_maps, dim, n_class) -> dict:
+    keys = jax.random.split(rng, 2 * num_layers + 2)
+    return {
+        "conv_in": init_conv1d(keys[0], dim, num_f_maps, 1),
+        "layers": [
+            {
+                "conv_dilated": init_conv1d(keys[2 * i + 1], num_f_maps, num_f_maps, 3),
+                "conv_1x1": init_conv1d(keys[2 * i + 2], num_f_maps, num_f_maps, 1),
+            }
+            for i in range(num_layers)
+        ],
+        "conv_out": init_conv1d(keys[-1], num_f_maps, n_class, 1),
+    }
+
+
+def init(rng, cfg: MSTCNConfig) -> dict:
+    keys = jax.random.split(rng, cfg.num_stages)
+    stages = [_init_stage(keys[0], cfg.num_layers, cfg.num_f_maps, cfg.dim, cfg.n_class)]
+    for s in range(1, cfg.num_stages):
+        stages.append(
+            _init_stage(keys[s], cfg.num_layers, cfg.num_f_maps, cfg.n_class, cfg.n_class)
+        )
+    return {"stages": stages}
+
+
+def _apply_stage(stage, x, mask, cfg, train, rng):
+    out = conv1d(stage["conv_in"], x)
+    rngs = split_rng(rng, len(stage["layers"]))
+    for i, layer in enumerate(stage["layers"]):
+        out = dilated_residual_layer(
+            layer, out, mask, dilation=2 ** i,
+            dropout_rate=cfg.dropout_rate, train=train, rng=rngs[i],
+            use_pallas=cfg.use_pallas,
+        )
+    return conv1d(stage["conv_out"], out) * mask
+
+
+def apply(params, cfg: MSTCNConfig, x, lengths, *, train=False, rng=None):
+    """x: [B, T, 400] -> logits [B, T, C] (stage-max)."""
+    mask = length_mask(lengths, x.shape[1]).astype(x.dtype)[:, :, None]
+    rngs = split_rng(rng, cfg.num_stages)
+    out = _apply_stage(params["stages"][0], x, mask, cfg, train, rngs[0])
+    acc = out
+    for s in range(1, cfg.num_stages):
+        out = _apply_stage(
+            params["stages"][s], jax.nn.softmax(out, axis=-1) * mask, mask, cfg, train, rngs[s]
+        )
+        acc = jnp.maximum(acc, out)  # stage-max (networks.py:317-319)
+    return acc

@@ -1,0 +1,67 @@
+"""1-D temporal convolutions in NWC layout (TPU-native).
+
+Weight layout ``[K, Cin, Cout]`` (``WIO``), activations ``[B, T, C]`` (``NWC``)
+— the contraction K*Cin x Cout maps directly onto the MXU and XLA fuses the
+surrounding element-wise ops.  Init matches ``torch.nn.Conv1d`` defaults
+(Kaiming-uniform with a=sqrt(5): ``U(-1/sqrt(Cin*K), 1/sqrt(Cin*K))``).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+_DIMNUMS = ("NWC", "WIO", "NWC")
+
+
+def init_conv1d(rng, in_ch: int, out_ch: int, kernel: int) -> dict:
+    fan_in = in_ch * kernel
+    k = 1.0 / jnp.sqrt(fan_in)
+    rw, rb = jax.random.split(rng)
+    return {
+        "w": jax.random.uniform(rw, (kernel, in_ch, out_ch), minval=-k, maxval=k),
+        "b": jax.random.uniform(rb, (out_ch,), minval=-k, maxval=k),
+    }
+
+
+def conv1d(p: dict, x: jax.Array, dilation: int = 1) -> jax.Array:
+    """'same'-padded dilated conv: pad = dilation*(K-1)/2 like the reference's
+    ``nn.Conv1d(..., padding=dilation, dilation=dilation)`` with K=3."""
+    k = p["w"].shape[0]
+    pad = dilation * (k - 1) // 2
+    out = jax.lax.conv_general_dilated(
+        x,
+        p["w"],
+        window_strides=(1,),
+        padding=[(pad, pad)],
+        rhs_dilation=(dilation,),
+        dimension_numbers=_DIMNUMS,
+    )
+    return out + p["b"]
+
+
+def dilated_residual_layer(
+    layer: dict,
+    x: jax.Array,
+    mask: jax.Array,
+    *,
+    dilation: int,
+    dropout_rate: float = 0.5,
+    train: bool = False,
+    rng=None,
+    use_pallas: bool = False,
+) -> jax.Array:
+    """Reference ``DilatedResidualLayer`` (``networks.py:336-347``):
+    relu(dilated conv) -> 1x1 conv -> dropout -> residual -> frame mask."""
+    if use_pallas and not train:
+        from .conv_pallas import fused_dilated_residual
+
+        out = fused_dilated_residual(layer, x, mask, dilation)
+        if out is not None:
+            return out
+    out = jax.nn.relu(conv1d(layer["conv_dilated"], x, dilation))
+    out = conv1d(layer["conv_1x1"], out)
+    if train and dropout_rate > 0.0 and rng is not None:
+        keep = 1.0 - dropout_rate
+        out = out * jax.random.bernoulli(rng, keep, out.shape) / keep
+    return (x + out) * mask

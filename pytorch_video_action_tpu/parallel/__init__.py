@@ -1,0 +1,2 @@
+from .dp import DataParallel
+from .mesh import batch_sharding, batch_seq_sharding, make_mesh, replicated

@@ -1,13 +1,21 @@
 import os
 
-# Simulate an 8-device mesh on CPU for sharding tests (JAX-native fake backend).
-# Must run before jax is imported anywhere.
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Simulate an 8-device mesh on CPU for sharding tests (JAX-native fake
+# backend).  The sandbox's sitecustomize pre-imports jax and pins the 'axon'
+# TPU platform regardless of JAX_PLATFORMS, so the env var alone is not
+# enough: we must also flip jax's config before any backend initializes.
+# Unit tests verify numerics in f32 on CPU; the real TPU path is exercised by
+# bench.py / __graft_entry__.py.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
