@@ -30,7 +30,10 @@ def make_optimizer(lr: float, lr_step_size: int, lr_gamma: float):
 
 def set_lr(opt_state, new_lr: float):
     """Update the injected learning rate in-place in the optimizer state."""
-    opt_state.hyperparams["learning_rate"] = type(
-        opt_state.hyperparams["learning_rate"]
-    )(new_lr)
+    import jax.numpy as jnp
+
+    cur = opt_state.hyperparams["learning_rate"]
+    opt_state.hyperparams["learning_rate"] = jnp.asarray(
+        new_lr, dtype=getattr(cur, "dtype", jnp.float32)
+    )
     return opt_state

@@ -1,0 +1,140 @@
+"""End-to-end training on the synthetic micro-dataset (SURVEY.md §4):
+a short train run must learn the (separable) synthetic mapping, produce a
+correctly named checkpoint, and round-trip through save/load."""
+
+import os
+
+import numpy as np
+import pytest
+
+from pytorch_video_action_tpu.data import BatchFeed, BucketBatchSampler, VideoDataset
+from pytorch_video_action_tpu.models import build_model
+from pytorch_video_action_tpu.train import (
+    Trainer,
+    checkpoint_name,
+    evaluate,
+    load_params,
+    save_params,
+)
+
+
+def _datasets(root, mode="active"):
+    kw = dict(
+        data_dir=os.path.join(str(root), "data"),
+        annot_path=str(root),
+        split=0,
+        mode=mode,
+        cache_dir=os.path.join(str(root), "cache-train-e2e-" + mode),
+        verbose=False,
+    )
+    return (
+        VideoDataset(part="train", **kw),
+        VideoDataset(part="dev", **kw),
+    )
+
+
+def test_train_vanilla_lstm_e2e(synthetic_root, tmp_path):
+    train_ds, dev_ds = _datasets(synthetic_root)
+    n_class = train_ds.n_class
+    model = build_model(
+        "vanilla_lstm", n_class, lstm_layer=1, lstm_hidden1=32, lstm_dropout=0.0
+    )
+    trainer = Trainer(model, n_class, lr=5e-3, seed=0)
+    ts = trainer.init_state()
+
+    sampler = BucketBatchSampler(train_ds.features, 2, seed=0)
+    feed = BatchFeed(train_ds, batch_sampler=sampler, bucket_multiple=32)
+    dev_feed = BatchFeed(dev_ds, batch_size=2, bucket_multiple=32)
+
+    first_losses, last_losses = [], []
+    for epoch in range(4):
+        trainer.start_epoch(ts)
+        losses = [float(trainer.train_step(ts, b)) for b in feed]
+        ts.epoch += 1
+        if epoch == 0:
+            first_losses = losses
+        last_losses = losses
+    assert np.mean(last_losses) < np.mean(first_losses)
+
+    seg_acc, frame_acc = evaluate(model, ts.params, dev_feed)
+    assert frame_acc > 60.0, f"frame acc too low: {frame_acc}"
+
+    # checkpoint naming contract + save/load roundtrip
+    name = checkpoint_name("vanilla_lstm", seg_acc)
+    assert name.endswith("_dev")
+    path = str(tmp_path / "models" / f"{name}.npz")
+    save_params(path, ts.params)
+    restored = load_params(path)
+    seg2, frame2 = evaluate(model, restored, dev_feed)
+    assert abs(seg2 - seg_acc) < 1e-9 and abs(frame2 - frame_acc) < 1e-9
+
+
+def test_train_mstcn_short(synthetic_root):
+    train_ds, dev_ds = _datasets(synthetic_root)
+    n_class = train_ds.n_class
+    model = build_model("ms_tcn", n_class)
+    trainer = Trainer(model, n_class, lr=5e-4, seed=0)
+    ts = trainer.init_state()
+    feed = BatchFeed(train_ds, batch_size=2, bucket_multiple=64, shuffle=True, seed=0)
+    l0 = l1 = None
+    for epoch in range(2):
+        losses = [float(trainer.train_step(ts, b)) for b in feed]
+        if epoch == 0:
+            l0 = np.mean(losses)
+        l1 = np.mean(losses)
+    assert l1 < l0
+
+
+def test_train_segment_mode_last(synthetic_root):
+    train_ds, dev_ds = _datasets(synthetic_root, mode="segment")
+    n_class = train_ds.n_class
+    model = build_model(
+        "bilstm", n_class, pred_mode="last",
+        lstm_layer=1, lstm_hidden1=32, lstm_hidden2=16, lstm_dropout=0.0,
+    )
+    trainer = Trainer(model, n_class, lr=5e-3, seed=0)
+    ts = trainer.init_state()
+    feed = BatchFeed(
+        train_ds, batch_size=2, pred_mode="last", train_mode="segment",
+        bucket_multiple=16, shuffle=True, seed=0,
+    )
+    for _ in range(3):
+        for b in feed:
+            trainer.train_step(ts, b)
+    dev_feed = BatchFeed(
+        dev_ds, batch_size=2, pred_mode="last", train_mode="segment",
+        bucket_multiple=16,
+    )
+    seg_acc, frame_acc = evaluate(model, ts.params, dev_feed)
+    # per-segment classification on separable data should be well above chance
+    assert frame_acc > 50.0
+
+
+def test_train_ctcloss_runs(synthetic_root):
+    train_ds, _ = _datasets(synthetic_root)
+    n_class = train_ds.n_class
+    model = build_model("ctcloss", n_class)
+    trainer = Trainer(model, n_class, lr=1e-3, seed=0)
+    ts = trainer.init_state()
+    feed = BatchFeed(train_ds, batch_size=2, bucket_multiple=64)
+    losses = [float(trainer.train_step(ts, b)) for b in feed]
+    assert all(np.isfinite(losses))
+
+
+def test_train_bilstm_lm_runs(synthetic_root):
+    train_ds, _ = _datasets(synthetic_root)
+    n_class = train_ds.n_class
+    model = build_model(
+        "bilstm_lm", n_class, lstm_layer=1, lstm_hidden1=32, lstm_hidden2=16,
+        lstm_dropout=0.0,
+    )
+    trainer = Trainer(model, n_class, lr=1e-3, seed=0)
+    ts = trainer.init_state()
+    assert ts.model_state is not None
+    feed = BatchFeed(train_ds, batch_size=1, bucket_multiple=64)
+    losses = []
+    for i, b in enumerate(feed):
+        losses.append(float(trainer.train_step(ts, b)))
+        if i >= 2:
+            break
+    assert all(np.isfinite(losses))
