@@ -1,0 +1,68 @@
+"""``inference-scene.py`` CLI — cross-camera scene aggregation
+(flag-compatible with reference ``inference-scene.py:14-24``)."""
+
+from __future__ import annotations
+
+import argparse
+import os
+from datetime import datetime
+
+from ..data import VideoDataset
+from ..infer.loader import load_models
+from ..infer.scene import run_scene_aggregation
+from ..utils.csvout import write_submission
+
+
+def parse_arguments(argv=None):
+    parser = argparse.ArgumentParser()
+    parser.add_argument('--pretrained_model', dest='pretrained_model', nargs='+',
+                        required=True,
+                        help='pretrained_model filename, standard '
+                             '${model}_${accuracy}_dev')
+    parser.add_argument('--load_all', type=bool, nargs='?', const=True,
+                        default=False, help='Load all data into RAM')
+    parser.add_argument('--prob', dest='prob', required=True,
+                        choices=['small', 'big'],
+                        help='probability smaller or bigger better')
+    # TPU-native extras
+    parser.add_argument('--attn_head', type=int, default=4)
+    parser.add_argument('--data_dir', default='./data')
+    parser.add_argument('--annot_path', default='.')
+    parser.add_argument('--models_dir', default='models')
+    parser.add_argument('--results_dir', default='results')
+    parser.add_argument('--bucket_multiple', type=int, default=128)
+    parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--parity_quirks', type=bool, nargs='?', const=True,
+                        default=False)
+    return parser.parse_args(argv)
+
+
+def main(argv=None):
+    args = parse_arguments(argv)
+    os.makedirs(args.results_dir, exist_ok=True)
+    dataset = VideoDataset(
+        data_dir=args.data_dir, annot_path=args.annot_path,
+        part='test', load_all=True, split=1, mode='None',
+    )
+    n_class = dataset.n_class
+    models = load_models(
+        args.pretrained_model, n_class,
+        models_dir=args.models_dir, attn_head=args.attn_head,
+    )
+    if len(models) == 0:
+        print('No model is loaded...')
+        return 0
+    print('Start predicting...')
+    flat = run_scene_aggregation(
+        dataset, models, prob_pref=args.prob,
+        quirk_argsort1=args.parity_quirks,
+        bucket_multiple=args.bucket_multiple, batch_size=args.batch_size,
+    )
+    stamp = datetime.now().strftime('%Y_%m_%d_%H_%M_%S')
+    result_path = os.path.join(
+        args.results_dir,
+        'result_scene_agg_{}_{}'.format('_'.join(args.pretrained_model), stamp),
+    )
+    print(f'Writing results to {result_path}...')
+    write_submission(result_path, flat)
+    return result_path

@@ -1,0 +1,153 @@
+"""LM-scored beam search over segment label sequences.
+
+Two variants in the reference:
+* ``inference-lm.py:137-168``: ensemble candidates — per segment, pool every
+  model's above-threshold labels (default threshold 0.2), optional zero
+  removal, expand the beam, score the *full prefix string* with the LM, keep
+  the top ``beam_size``;
+* ``train.py:85-141`` (``eval_beam_search``): single-model candidates with
+  threshold 0.15, beam scored purely by LM score.
+
+Scoring runs on host over device-computed predictions; the LM is kenlm if
+installed, else our ARPA scorer (``lm/arpa.py``) with identical semantics.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..lm.arpa import load_lm
+from ..utils.runlength import run_length_segments
+from .predict import frame_predictions
+from .voting import candidate_labels
+
+
+def beam_search_segments(
+    per_model_preds: list[np.ndarray],
+    segments: list[int],
+    lm_model,
+    beam_size: int = 5,
+    threshold: float = 0.2,
+    remove_zero: bool = False,
+) -> list[str]:
+    """Beam-decode one video; returns the best label-string sequence."""
+    beam: list[tuple[str, float]] = [("", 0.0)]
+    for index in range(len(segments) - 1):
+        start, end = int(segments[index]), int(segments[index + 1])
+        pooled: list[int] = []
+        for preds in per_model_preds:
+            pooled.extend(candidate_labels(preds[start:end], threshold).tolist())
+        candidates = sorted(set(pooled))
+        if remove_zero:
+            nz = [c for c in candidates if c != 0]
+            candidates = nz if nz else [0]
+        if not candidates:
+            candidates = [0]
+        new_beam = []
+        for current_pred, _ in beam:
+            for label in candidates:
+                new_pred = (current_pred + " " + str(label)).strip()
+                new_beam.append((new_pred, lm_model.score(new_pred)))
+        beam = sorted(new_beam, key=lambda x: x[1], reverse=True)[:beam_size]
+    return beam[0][0].split(" ") if beam[0][0] else []
+
+
+def run_beam_inference(
+    dataset,
+    models: dict,
+    lm_path: str,
+    part: str = "test",
+    beam_size: int = 5,
+    threshold: float = 0.2,
+    remove_zero: bool = False,
+    bucket_multiple: int = 128,
+    batch_size: int = 8,
+    verbose: bool = True,
+):
+    """Dev -> segment accuracy; test -> flat list of predicted labels."""
+    lm_model = load_lm(lm_path)
+    all_preds = {
+        key: frame_predictions(
+            mdef, params, dataset.features,
+            bucket_multiple=bucket_multiple, batch_size=batch_size,
+        )
+        for key, (mdef, params) in models.items()
+    }
+    results: list[str] = []
+    correct_segment = total_segment = 0
+    n_videos = len(dataset.features)
+    for i in range(n_videos):
+        if verbose and i % 10 == 0:
+            print(f"{i} out of {n_videos}")
+        if part == "dev":
+            labels = np.asarray(dataset.labels[i])
+            label_seq, segments = run_length_segments(labels)
+        else:
+            label_seq = []
+            segments = dataset.segment_lines[i]
+        preds_per_model = [all_preds[key][i][0] for key in models]
+        prediction = beam_search_segments(
+            preds_per_model, segments, lm_model, beam_size, threshold, remove_zero
+        )
+        if part == "dev":
+            assert len(prediction) == len(label_seq)
+            for k, p in enumerate(prediction):
+                if int(label_seq[k]) == int(p):
+                    correct_segment += 1
+            total_segment += len(label_seq)
+        else:
+            results += prediction
+    if part == "dev":
+        accuracy = 100.0 * correct_segment / max(total_segment, 1)
+        if verbose:
+            print("Accuracy: ", accuracy)
+        return accuracy
+    return results
+
+
+def eval_beam_search(
+    model_def,
+    params,
+    dev_feed,
+    lm_path: str,
+    beam_size: int = 5,
+    threshold: float = 0.15,
+) -> tuple[float, float]:
+    """Reference ``train.py:85-141``: dev beam-search evaluation for a single
+    model.  Returns (segment_accuracy, frame_accuracy)."""
+    from ..train.loop import predict_batches
+
+    lm_model = load_lm(lm_path)
+    correct_segment = total_segment = 0
+    correct_frame = total_frame = 0
+    for pred, labels in predict_batches(model_def, params, dev_feed):
+        valid = labels != -1
+        pred, labels = pred[valid], labels[valid]
+        if labels.size == 0:
+            continue
+        total_frame += labels.size
+        correct_frame += int((pred == labels).sum())
+        label_seq, length_seq = run_length_segments(labels)
+
+        beam: list[tuple[str, float]] = [("", 0.0)]
+        for index in range(len(length_seq) - 1):
+            start, end = int(length_seq[index]), int(length_seq[index + 1])
+            cands = candidate_labels(pred[start:end], threshold)
+            if cands.size == 0:
+                cands = np.array([0])
+            new_beam = []
+            for current_pred, _ in beam:
+                for label in cands.tolist():
+                    new_pred = (current_pred + " " + str(label)).strip()
+                    new_beam.append((new_pred, lm_model.score(new_pred)))
+            beam = sorted(new_beam, key=lambda x: x[1], reverse=True)[:beam_size]
+        prediction = beam[0][0].split(" ")
+        assert len(prediction) == len(label_seq)
+        for k, p in enumerate(prediction):
+            if int(label_seq[k]) == int(p):
+                correct_segment += 1
+        total_segment += len(label_seq)
+    return (
+        100.0 * correct_segment / max(total_segment, 1),
+        100.0 * correct_frame / max(total_frame, 1),
+    )

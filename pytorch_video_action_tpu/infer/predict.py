@@ -1,0 +1,59 @@
+"""Batched device-side frame prediction for the inference drivers.
+
+The reference runs every video through every model at batch 1 on the fly
+(``inference.py:113-122``).  Here videos are grouped into length buckets and
+batched through one jitted forward per model; argmax/max reductions happen
+on-device and only ``[T]``-sized results come back to host — the voting /
+beam-search decoding then runs on host exactly like the reference.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .. import N_FEAT
+from ..data.collate import bucket_length
+from ..models import ModelDef
+
+
+def frame_predictions(
+    model: ModelDef,
+    params,
+    features: list[np.ndarray],
+    bucket_multiple: int = 128,
+    batch_size: int = 8,
+) -> list[tuple[np.ndarray, np.ndarray]]:
+    """Per video: (predicted_class [T] i64, max_log_prob [T] f32).
+
+    ``max_log_prob`` is the per-frame maximum over classes of the model
+    output — the reference's ``_`` from ``torch.max(outputs.data, 1)``
+    (``inference.py:123``), used for its normalized-confidence statistic.
+    """
+    fwd = jax.jit(lambda p, x, l: model.apply(p, x, l, train=False))
+
+    buckets: dict[int, list[int]] = defaultdict(list)
+    for i, f in enumerate(features):
+        buckets[bucket_length(len(f), bucket_multiple)].append(i)
+
+    results: list = [None] * len(features)
+    for t_pad, idxs in sorted(buckets.items()):
+        for s in range(0, len(idxs), batch_size):
+            chunk = idxs[s : s + batch_size]
+            b = len(chunk)
+            x = np.zeros((b, t_pad, N_FEAT), dtype=np.float32)
+            lengths = np.zeros((b,), dtype=np.int32)
+            for j, vi in enumerate(chunk):
+                f = np.asarray(features[vi], dtype=np.float32)
+                x[j, : len(f)] = f
+                lengths[j] = len(f)
+            out = fwd(params, jnp.asarray(x), jnp.asarray(lengths))
+            preds = np.asarray(jnp.argmax(out, axis=-1))
+            maxp = np.asarray(jnp.max(out, axis=-1))
+            for j, vi in enumerate(chunk):
+                l = int(lengths[j])
+                results[vi] = (preds[j, :l].astype(np.int64), maxp[j, :l])
+    return results

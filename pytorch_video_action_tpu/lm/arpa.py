@@ -1,0 +1,124 @@
+"""ARPA n-gram language model with kenlm-compatible scoring.
+
+The reference scores segment-label sequences with the kenlm C++ library
+(``inference-lm.py:6``, ``:166``; ``train.py:87-88``):
+``lm.score(sentence)`` = log10 P(w1..wn </s> | <s>) under Katz-style backoff.
+This module replicates those semantics in pure Python over standard ``.arpa``
+files (48-token vocabulary, short sequences — host-side scoring is cheap; a
+C++ scorer with identical semantics lives in ``native/`` for the hot path).
+
+Backoff recursion:  P(w | c) = p[c + w]                 if c+w is in the table
+                              = bow[c] + P(w | c[1:])    otherwise
+with OOV words mapped to ``<unk>``.
+"""
+
+from __future__ import annotations
+
+import gzip
+import math
+
+
+class ArpaLanguageModel:
+    def __init__(self, path: str):
+        self.probs: dict[tuple[str, ...], float] = {}
+        self.backoffs: dict[tuple[str, ...], float] = {}
+        self.order = 0
+        self._parse(path)
+        self.vocab = {w[0] for w in self.probs if len(w) == 1}
+
+    def _parse(self, path: str) -> None:
+        opener = gzip.open if path.endswith(".gz") else open
+        with opener(path, "rt") as f:
+            section = 0  # 0 = header, n = reading n-grams
+            for raw in f:
+                line = raw.strip()
+                if not line:
+                    continue
+                if line.startswith("\\") and line.endswith("-grams:"):
+                    section = int(line[1 : line.index("-")])
+                    self.order = max(self.order, section)
+                    continue
+                if line == "\\end\\":
+                    break
+                if line == "\\data\\" or section == 0:
+                    continue
+                parts = line.split("\t")
+                if len(parts) == 1:
+                    parts = line.split()
+                    logp = float(parts[0])
+                    words = tuple(parts[1 : 1 + section])
+                    bow = float(parts[1 + section]) if len(parts) > 1 + section else None
+                else:
+                    logp = float(parts[0])
+                    words = tuple(parts[1].split(" "))
+                    bow = float(parts[2]) if len(parts) > 2 else None
+                self.probs[words] = logp
+                if bow is not None:
+                    self.backoffs[words] = bow
+
+    # ------------------------------------------------------------- scoring
+
+    def _word_logprob(self, context: tuple[str, ...], word: str) -> float:
+        if word not in self.vocab:
+            word = "<unk>"
+        while True:
+            ngram = context + (word,)
+            if ngram in self.probs:
+                return self.probs[ngram]
+            if not context:
+                return self.probs.get(("<unk>",), -99.0)
+            # back off: charge the context's backoff weight, shorten context
+            bo = self.backoffs.get(context, 0.0)
+            shorter = self._word_logprob(context[1:], word)
+            return bo + shorter
+
+    def score(self, sentence: str, bos: bool = True, eos: bool = True) -> float:
+        """kenlm.LanguageModel.score: total log10 probability of the sentence
+        with implicit <s> context and </s> terminator."""
+        words = sentence.split()
+        context: tuple[str, ...] = ("<s>",) if bos else ()
+        total = 0.0
+        seq = words + (["</s>"] if eos else [])
+        for w in seq:
+            total += self._word_logprob(context, w)
+            mapped = w if w in self.vocab else "<unk>"
+            context = (context + (mapped,))[-(self.order - 1) :] if self.order > 1 else ()
+        return total
+
+    def perplexity(self, sentence: str) -> float:
+        n = len(sentence.split()) + 1  # + </s>
+        return 10.0 ** (-self.score(sentence) / max(n, 1))
+
+
+def LanguageModel(path: str):
+    """kenlm-style constructor alias: prefers the native C++ scorer, falls
+    back to the pure-Python implementation."""
+    try:
+        from .native import NativeArpaModel
+
+        m = NativeArpaModel(path)
+        if m.available:
+            return m
+    except Exception:
+        pass
+    return ArpaLanguageModel(path)
+
+
+def load_lm(path: str):
+    """Load a scorer for ``path``: real kenlm if installed, else ours."""
+    try:
+        import kenlm  # optional external native dep (reference parity)
+
+        return kenlm.LanguageModel(path)
+    except ImportError:
+        return LanguageModel(path)
+
+
+__all__ = ["ArpaLanguageModel", "LanguageModel", "load_lm"]
+
+
+def _logsumexp10(xs):
+    m = max(xs)
+    if math.isinf(m):
+        return m
+    return m + math.log10(sum(10 ** (x - m) for x in xs))

@@ -1,0 +1,88 @@
+"""ARPA LM: trainer produces a valid normalized model; scorer matches kenlm
+semantics (cross-checked against kenlm itself when installed)."""
+
+import math
+
+import numpy as np
+import pytest
+
+from pytorch_video_action_tpu.lm.arpa import ArpaLanguageModel
+from pytorch_video_action_tpu.lm.train_arpa import train_arpa
+
+CORPUS = [
+    "1 2 3",
+    "1 2 3",
+    "1 2 4",
+    "2 3 4",
+    "1 2 3 4",
+    "4 3 2",
+    "1 3",
+]
+
+
+@pytest.fixture(scope="module")
+def arpa_path(tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("lm") / "test.arpa")
+    train_arpa(CORPUS, path, order=3)
+    return path
+
+
+def test_arpa_loads(arpa_path):
+    lm = ArpaLanguageModel(arpa_path)
+    assert lm.order == 3
+    assert "1" in lm.vocab and "</s>" in lm.vocab and "<unk>" in lm.vocab
+
+
+def test_unigram_normalization(arpa_path):
+    lm = ArpaLanguageModel(arpa_path)
+    # P(w) over the full vocab (excluding <s>, which is context-only) sums ~1
+    total = sum(
+        10 ** lm.probs[(w,)] for w in lm.vocab if w != "<s>"
+    )
+    assert abs(total - 1.0) < 0.05
+
+
+def test_conditional_normalization(arpa_path):
+    lm = ArpaLanguageModel(arpa_path)
+    # sum_w P(w | "1 2") == 1 via the backoff recursion
+    for ctx in [("1", "2"), ("2",), ("<s>",), ("4", "3")]:
+        total = sum(
+            10 ** lm._word_logprob(ctx, w) for w in lm.vocab if w != "<s>"
+        )
+        assert abs(total - 1.0) < 0.02, (ctx, total)
+
+
+def test_score_prefers_frequent_sequences(arpa_path):
+    lm = ArpaLanguageModel(arpa_path)
+    assert lm.score("1 2 3") > lm.score("3 1 2")
+    assert lm.score("1 2 3") > lm.score("1 1 1")
+
+
+def test_score_additivity(arpa_path):
+    lm = ArpaLanguageModel(arpa_path)
+    # score(sentence) = sum of word scores incl </s>
+    s = lm.score("1 2")
+    manual = (
+        lm._word_logprob(("<s>",), "1")
+        + lm._word_logprob(("<s>", "1"), "2")
+        + lm._word_logprob(("1", "2"), "</s>")
+    )
+    assert abs(s - manual) < 1e-9
+
+
+def test_oov_maps_to_unk(arpa_path):
+    lm = ArpaLanguageModel(arpa_path)
+    assert math.isfinite(lm.score("99 98"))
+
+
+def test_kenlm_crosscheck(arpa_path):
+    kenlm = pytest.importorskip("kenlm")
+    ref = kenlm.LanguageModel(arpa_path)
+    lm = ArpaLanguageModel(arpa_path)
+    for sent in ["1 2 3", "1 2 3 4", "4 3 2", "2 2 2", "1 99"]:
+        assert abs(ref.score(sent) - lm.score(sent)) < 1e-3
+
+
+def test_perplexity(arpa_path):
+    lm = ArpaLanguageModel(arpa_path)
+    assert lm.perplexity("1 2 3") < lm.perplexity("3 1 1")
