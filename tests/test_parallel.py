@@ -1,0 +1,127 @@
+"""Multi-chip-without-a-cluster tests: DP and SP on the 8-virtual-device CPU
+mesh (SURVEY.md §4 'fake backend' analog)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytorch_video_action_tpu.models import build_model
+from pytorch_video_action_tpu.parallel import DataParallel, make_mesh
+from pytorch_video_action_tpu.parallel.sp import global_shift_time, mstcn_forward_sp
+from pytorch_video_action_tpu.train import Trainer
+
+from jax.sharding import PartitionSpec as P
+
+N_CLASS = 5
+
+
+def test_mesh_creation():
+    mesh = make_mesh(data=4, seq=2)
+    assert mesh.shape == {"data": 4, "seq": 2}
+    mesh = make_mesh(seq=2)  # data inferred = 4
+    assert mesh.shape["data"] == 4
+
+
+def _batch(b, t, seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(size=(b, t, 400)).astype(np.float32)
+    lengths = rng.integers(t // 2, t + 1, size=b).astype(np.int32)
+    targets = rng.integers(0, N_CLASS, size=(b, t)).astype(np.int64)
+    for i, l in enumerate(lengths):
+        x[i, l:] = 0
+        targets[i, l:] = -1
+    mask = np.arange(t)[None, :] < lengths[:, None]
+    return x, lengths, targets.reshape(-1), mask
+
+
+def test_dp_training_matches_single_device():
+    model = build_model(
+        "vanilla_lstm", N_CLASS, lstm_layer=1, lstm_hidden1=16, lstm_dropout=0.0
+    )
+    batch = _batch(8, 32)
+
+    t_single = Trainer(model, N_CLASS, lr=1e-3, seed=0)
+    ts_single = t_single.init_state()
+    loss_single = float(t_single.train_step(ts_single, batch))
+
+    t_dp = Trainer(model, N_CLASS, lr=1e-3, seed=0, sharding=DataParallel(4))
+    ts_dp = t_dp.init_state()
+    loss_dp = float(t_dp.train_step(ts_dp, batch))
+
+    assert abs(loss_single - loss_dp) < 1e-5
+    # params after the step agree
+    flat_s = jax.tree_util.tree_leaves(ts_single.params)
+    flat_d = jax.tree_util.tree_leaves(ts_dp.params)
+    for a, b in zip(flat_s, flat_d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_dp_pads_ragged_batch():
+    model = build_model(
+        "vanilla_lstm", N_CLASS, lstm_layer=1, lstm_hidden1=16, lstm_dropout=0.0
+    )
+    batch = _batch(6, 32)  # 6 % 4 != 0 -> padded with fully-masked rows
+    t_dp = Trainer(model, N_CLASS, lr=1e-3, seed=0, sharding=DataParallel(4))
+    ts = t_dp.init_state()
+    t_single = Trainer(model, N_CLASS, lr=1e-3, seed=0)
+    ts_s = t_single.init_state()
+    assert abs(float(t_dp.train_step(ts, batch)) - float(t_single.train_step(ts_s, batch))) < 1e-5
+
+
+def test_global_shift_time():
+    mesh = make_mesh(data=1, seq=4)
+    b, t_loc, c = 2, 8, 3
+    t = t_loc * 4
+    rng = np.random.default_rng(0)
+    x = rng.normal(size=(b, t, c)).astype(np.float32)
+
+    for shift in [0, 1, 3, 8, 11, 16, 31, -1, -5, -8, -13, -31]:
+        fn = jax.shard_map(
+            lambda z: global_shift_time(z, shift),
+            mesh=mesh,
+            in_specs=P(None, "seq", None),
+            out_specs=P(None, "seq", None),
+        )
+        got = np.asarray(fn(x))
+        expect = np.zeros_like(x)
+        if shift >= 0:
+            expect[:, shift:] = x[:, : t - shift]
+        else:
+            expect[:, : t + shift] = x[:, -shift:]
+        np.testing.assert_allclose(got, expect, atol=1e-6, err_msg=f"shift={shift}")
+
+
+def test_mstcn_sp_matches_serial():
+    from pytorch_video_action_tpu.models import mstcn
+
+    cfg = mstcn.MSTCNConfig(
+        dim=16, num_stages=2, num_layers=6, num_f_maps=8, n_class=N_CLASS
+    )
+    params = mstcn.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(1)
+    b, t = 4, 64
+    x = rng.normal(size=(b, t, 16)).astype(np.float32)
+    lengths = np.array([64, 50, 33, 7], dtype=np.int32)
+    for i, l in enumerate(lengths):
+        x[i, l:] = 0
+
+    serial = np.asarray(
+        mstcn.apply(params, cfg, jnp.asarray(x), jnp.asarray(lengths), train=False)
+    )
+    mesh = make_mesh(data=2, seq=4)
+    sp = np.asarray(
+        mstcn_forward_sp(
+            params, cfg, jnp.asarray(x), jnp.asarray(lengths), mesh, train=False
+        )
+    )
+    np.testing.assert_allclose(sp, serial, atol=1e-4, rtol=1e-4)
+
+
+def test_graft_entry_dryrun():
+    import importlib
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    mod = importlib.import_module("__graft_entry__")
+    mod.dryrun_multichip(8)
