@@ -3,6 +3,11 @@
 reference's PyTorch-CPU equivalent (BASELINE.json metric: frames/sec/chip;
 north-star >= 10x the PyTorch CPU reference).
 
+Measurement discipline: the TPU side chains N full train steps inside ONE
+jitted ``lax.fori_loop`` (params evolve step to step) and fetches the final
+loss scalar — immune to async-dispatch / identical-call caching artifacts of
+the device tunnel.  Both sides run the same shapes.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 
@@ -15,49 +20,60 @@ import time
 
 import numpy as np
 
-B = int(os.environ.get("PVA_BENCH_B", 16))
+B = int(os.environ.get("PVA_BENCH_B", 64))
 T = int(os.environ.get("PVA_BENCH_T", 1024))
 N_CLASS = 48
-STEPS = int(os.environ.get("PVA_BENCH_STEPS", 20))
-REF_STEPS = int(os.environ.get("PVA_BENCH_REF_STEPS", 2))
-
-
-def _batch():
-    rng = np.random.default_rng(0)
-    x = rng.normal(size=(B, T, 400)).astype(np.float32)
-    lengths = np.full((B,), T, dtype=np.int32)
-    targets = rng.integers(0, N_CLASS, size=(B, T)).astype(np.int64)
-    mask = np.ones((B, T), dtype=bool)
-    return x, lengths, targets.reshape(-1), mask
+STEPS = int(os.environ.get("PVA_BENCH_STEPS", 10))
+REF_STEPS = int(os.environ.get("PVA_BENCH_REF_STEPS", 1))
 
 
 def bench_tpu() -> float:
     import jax
+    import jax.numpy as jnp
+    import optax
 
     from pytorch_video_action_tpu.models import build_model
-    from pytorch_video_action_tpu.train import Trainer
+    from pytorch_video_action_tpu.train.losses import nll_loss
 
     model = build_model("bigru", N_CLASS, defaults=True)
-    trainer = Trainer(model, N_CLASS, lr=1e-3, seed=0)
-    ts = trainer.init_state()
-    batch = _batch()
+    params = model.init(jax.random.PRNGKey(0))
+    tx = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
+    opt_state = tx.init(params)
 
-    # warmup / compile
-    for _ in range(2):
-        loss = trainer.train_step(ts, batch)
-    jax.block_until_ready(ts.params)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(B, T, 400)).astype(np.float32))
+    lengths = jnp.full((B,), T, dtype=jnp.int32)
+    targets = jnp.asarray(rng.integers(0, N_CLASS, size=(B * T,)))
+    key = jax.random.PRNGKey(1)
 
+    def loss_fn(p, rng_i):
+        out = model.apply(p, x, lengths, train=True, rng=rng_i)
+        return nll_loss(out, targets)
+
+    @jax.jit
+    def run(params, opt_state):
+        def body(i, carry):
+            p, s, _ = carry
+            loss, grads = jax.value_and_grad(loss_fn)(p, jax.random.fold_in(key, i))
+            updates, s = tx.update(grads, s, p)
+            p = optax.apply_updates(p, updates)
+            return (p, s, loss)
+
+        return jax.lax.fori_loop(0, STEPS, body, (params, opt_state, 0.0))
+
+    out = run(params, opt_state)  # compile + first run
+    float(out[2])
     start = time.perf_counter()
-    for _ in range(STEPS):
-        loss = trainer.train_step(ts, batch)
-    jax.block_until_ready((ts.params, loss))
+    out = run(params, opt_state)
+    final_loss = float(out[2])  # forces full execution
     elapsed = time.perf_counter() - start
+    assert np.isfinite(final_loss)
     return B * T * STEPS / elapsed
 
 
 def bench_torch_cpu() -> float:
     """Reference-equivalent workload: torch BiGRU (4-layer bidirectional,
-    hidden 256) forward+backward+Adam on CPU, same shapes."""
+    hidden 256, dropout 0.5) forward+backward+Adam on CPU, same shapes."""
     import torch
 
     torch.manual_seed(0)
@@ -82,11 +98,9 @@ def bench_torch_cpu() -> float:
     x = torch.randn(B, T, 400)
     y = torch.randint(0, N_CLASS, (B * T,))
 
-    # one warmup step, then timed steps
-    for _ in range(1):
-        opt.zero_grad()
-        crit(net(x), y).backward()
-        opt.step()
+    opt.zero_grad()  # warmup step
+    crit(net(x), y).backward()
+    opt.step()
     start = time.perf_counter()
     for _ in range(REF_STEPS):
         opt.zero_grad()

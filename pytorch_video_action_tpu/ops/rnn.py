@@ -7,9 +7,13 @@ we split each layer into
    whole sequence.  This is where nearly all FLOPs live (D=400 vs H<=256) and
    it tiles perfectly onto the MXU.
 2. **recurrence** — a ``jax.lax.scan`` over time whose body does only the
-   small ``[B, H] @ [H, gH]`` hidden matmul + element-wise gates (VPU).  An
-   optional Pallas kernel (ops/rnn_pallas.py) fuses the whole scan with the
-   weights pinned in VMEM.
+   small hidden matmul + element-wise gates.  The recurrence is
+   latency-bound, not FLOP-bound, so both directions of a bidirectional
+   layer run in the *same* scan body: their hidden matmuls are packed into
+   one block-diagonal ``[B, 2H] @ [2H, g*2H]`` matmul with gate-grouped
+   columns, so the gate nonlinearities operate on contiguous ``[B, 2H]``
+   lanes with no per-step reshuffling.  An optional Pallas kernel
+   (ops/rnn_pallas.py) fuses the whole scan with weights pinned in VMEM.
 
 Gate layouts and initialization match ``torch.nn.LSTM`` / ``torch.nn.GRU``
 (gates ``i,f,g,o`` and ``r,z,n``; all params ``U(-1/sqrt(H), 1/sqrt(H))``) so
@@ -26,6 +30,8 @@ import jax
 import jax.numpy as jnp
 
 from .masking import length_mask, masked_reverse
+
+SCAN_UNROLL = 8  # scan body replication; tuned on v5e (tools/profile_rnn.py)
 
 
 def _uniform(rng, shape, bound, dtype=jnp.float32):
@@ -69,52 +75,89 @@ def init_rnn(
     return layers
 
 
-def _lstm_scan(xg: jax.Array, wh: jax.Array, mask: jax.Array, hidden_dim: int):
-    """xg: [T, B, 4H] precomputed input gates (+ biases); mask: [T, B, 1]."""
-    h = hidden_dim
+def _n_gates(cell: str) -> int:
+    return 4 if cell == "lstm" else 3
+
+
+def _pack_gate_grouped(mats: list[jax.Array], h: int, n_gates: int) -> jax.Array:
+    """Pack per-direction hidden weights ``[H, g*H]`` into a block-diagonal
+    ``[D*H, g*D*H]`` with *gate-grouped* columns:
+    output layout ``[gate0_dir0 | gate0_dir1 | gate1_dir0 | ...]`` so the scan
+    body slices gates as contiguous ``[B, D*H]`` chunks."""
+    d = len(mats)
+    w = jnp.zeros((d * h, n_gates * d * h), mats[0].dtype)
+    for di, m in enumerate(mats):
+        for g in range(n_gates):
+            w = w.at[
+                di * h : (di + 1) * h,
+                g * d * h + di * h : g * d * h + (di + 1) * h,
+            ].set(m[:, g * h : (g + 1) * h])
+    return w
+
+
+def _pack_gate_grouped_vec(vecs: list[jax.Array], h: int, n_gates: int) -> jax.Array:
+    """Same gate-grouped packing for bias vectors ``[g*H]`` -> ``[g*D*H]``."""
+    d = len(vecs)
+    return jnp.concatenate(
+        [vecs[di][g * h : (g + 1) * h] for g in range(n_gates) for di in range(d)]
+    )
+
+
+def _scan_packed(cell: str, xg, wh, bh, mask, width: int):
+    """Scan over time with gate-grouped packed tensors.
+
+    xg: [T, B, g*W] input gates (+bi [, +bh for lstm]); wh: [W, g*W];
+    bh: [g*W] (GRU only); mask: [T, B, 1]; W = hidden width (H or 2H).
+    Returns ys [T, B, W].
+    """
+    w = width
     b = xg.shape[1]
-    h0 = jnp.zeros((b, h), xg.dtype)
-    c0 = jnp.zeros((b, h), xg.dtype)
+    h0 = jnp.zeros((b, w), xg.dtype)
 
-    def step(carry, inp):
-        hp, cp = carry
-        g_x, m = inp
-        gates = g_x + hp @ wh
-        i = jax.nn.sigmoid(gates[:, :h])
-        f = jax.nn.sigmoid(gates[:, h : 2 * h])
-        g = jnp.tanh(gates[:, 2 * h : 3 * h])
-        o = jax.nn.sigmoid(gates[:, 3 * h :])
-        c = f * cp + i * g
-        hn = o * jnp.tanh(c)
-        # carry-freeze on padded steps (pack_padded semantics)
-        hn = jnp.where(m, hn, hp)
-        c = jnp.where(m, c, cp)
-        return (hn, c), hn * m
+    if cell == "lstm":
+        def step(carry, inp):
+            hp, cp = carry
+            g_x, m = inp
+            gates = g_x + hp @ wh
+            i = jax.nn.sigmoid(gates[:, :w])
+            f = jax.nn.sigmoid(gates[:, w : 2 * w])
+            g = jnp.tanh(gates[:, 2 * w : 3 * w])
+            o = jax.nn.sigmoid(gates[:, 3 * w :])
+            c = f * cp + i * g
+            hn = o * jnp.tanh(c)
+            hn = jnp.where(m, hn, hp)
+            c = jnp.where(m, c, cp)
+            return (hn, c), hn * m
 
-    (_, _), ys = jax.lax.scan(step, (h0, c0), (xg, mask), unroll=8)
-    return ys  # [T, B, H], zeros at padded steps
+        (_, _), ys = jax.lax.scan(step, (h0, h0), (xg, mask), unroll=SCAN_UNROLL)
+    else:
+        def step(hp, inp):
+            g_x, m = inp
+            hg = hp @ wh + bh
+            r = jax.nn.sigmoid(g_x[:, :w] + hg[:, :w])
+            z = jax.nn.sigmoid(g_x[:, w : 2 * w] + hg[:, w : 2 * w])
+            n = jnp.tanh(g_x[:, 2 * w :] + r * hg[:, 2 * w :])
+            hn = (1.0 - z) * n + z * hp
+            hn = jnp.where(m, hn, hp)
+            return hn, hn * m
 
-
-def _gru_scan(xg: jax.Array, wh: jax.Array, bh: jax.Array, mask: jax.Array, hidden_dim: int):
-    """torch GRU: r,z from summed projections; candidate n applies the reset
-    gate to the *hidden* projection including its bias:
-    ``n = tanh(x_n + r * (W_hn h + b_hn))``."""
-    h = hidden_dim
-    b = xg.shape[1]
-    h0 = jnp.zeros((b, h), xg.dtype)
-
-    def step(hp, inp):
-        g_x, m = inp
-        hg = hp @ wh + bh
-        r = jax.nn.sigmoid(g_x[:, :h] + hg[:, :h])
-        z = jax.nn.sigmoid(g_x[:, h : 2 * h] + hg[:, h : 2 * h])
-        n = jnp.tanh(g_x[:, 2 * h :] + r * hg[:, 2 * h :])
-        hn = (1.0 - z) * n + z * hp
-        hn = jnp.where(m, hn, hp)
-        return hn, hn * m
-
-    _, ys = jax.lax.scan(step, h0, (xg, mask), unroll=8)
+        _, ys = jax.lax.scan(step, h0, (xg, mask), unroll=SCAN_UNROLL)
     return ys
+
+
+def _layer_inputs(cell, p, x):
+    """Input projection for one direction: [B, T, gH]."""
+    if cell == "lstm":
+        return x @ p["wi"] + p["bi"] + p["bh"]  # fold both biases into gates
+    return x @ p["wi"] + p["bi"]  # GRU hidden bias stays inside the reset gate
+
+
+def _interleave_gates(parts: list[jax.Array], h: int, n_gates: int) -> jax.Array:
+    """Per-direction input gates ``[B, T, g*H]`` -> gate-grouped ``[B, T, g*D*H]``."""
+    return jnp.concatenate(
+        [p[..., g * h : (g + 1) * h] for g in range(n_gates) for p in parts],
+        axis=-1,
+    )
 
 
 def _run_direction(
@@ -126,23 +169,41 @@ def _run_direction(
     hidden_dim: int,
     reverse: bool,
 ):
+    """Single-direction layer (also the pluggable unit for the Pallas path)."""
     if reverse:
         x = masked_reverse(x, lengths)
-    b, t, _ = x.shape
-    if cell == "lstm":
-        xg = x @ p["wi"] + p["bi"] + p["bh"]  # fold both biases into gates
-    else:  # gru: hidden bias must stay inside the reset gate
-        xg = x @ p["wi"] + p["bi"]
-    xg = jnp.swapaxes(xg, 0, 1)  # time-major [T, B, gH]
+    xg = jnp.swapaxes(_layer_inputs(cell, p, x), 0, 1)  # [T, B, gH]
     m = jnp.swapaxes(mask_bt.astype(x.dtype)[:, :, None], 0, 1)
-    if cell == "lstm":
-        ys = _lstm_scan(xg, p["wh"], m, hidden_dim)
-    else:
-        ys = _gru_scan(xg, p["wh"], p["bh"], m, hidden_dim)
-    ys = jnp.swapaxes(ys, 0, 1)  # [B, T, H]
+    ys = _scan_packed(cell, xg, p["wh"], p["bh"], m, hidden_dim)
+    ys = jnp.swapaxes(ys, 0, 1)
     if reverse:
         ys = masked_reverse(ys, lengths)
     return ys
+
+
+def _run_bidir_fused(
+    cell: str,
+    layer: dict,
+    x: jax.Array,
+    lengths: jax.Array,
+    mask_bt: jax.Array,
+    hidden_dim: int,
+):
+    """Both directions in ONE scan: the backward stream consumes the
+    length-aware time-reversed input, so a single pass over t covers fwd[t]
+    and bwd[len-1-t] simultaneously on ``[B, 2H]`` lanes."""
+    h = hidden_dim
+    g = _n_gates(cell)
+    x_rev = masked_reverse(x, lengths)
+    xg_f = _layer_inputs(cell, layer["fwd"], x)
+    xg_b = _layer_inputs(cell, layer["bwd"], x_rev)
+    xg = jnp.swapaxes(_interleave_gates([xg_f, xg_b], h, g), 0, 1)  # [T,B,g*2H]
+    wh = _pack_gate_grouped([layer["fwd"]["wh"], layer["bwd"]["wh"]], h, g)
+    bh = _pack_gate_grouped_vec([layer["fwd"]["bh"], layer["bwd"]["bh"]], h, g)
+    m = jnp.swapaxes(mask_bt.astype(x.dtype)[:, :, None], 0, 1)
+    ys = jnp.swapaxes(_scan_packed(cell, xg, wh, bh, m, 2 * h), 0, 1)  # [B,T,2H]
+    y_f, y_b = ys[..., :h], ys[..., h:]
+    return jnp.concatenate([y_f, masked_reverse(y_b, lengths)], axis=-1)
 
 
 def rnn_apply(
@@ -167,15 +228,21 @@ def rnn_apply(
     assert cell in ("lstm", "gru")
     t = x.shape[1]
     mask_bt = length_mask(lengths, t)
-    run = scan_impl or _run_direction
     out = x
     for li, layer in enumerate(layers):
-        fwd = run(cell, layer["fwd"], out, lengths, mask_bt, hidden_dim, False)
-        if bidirectional:
-            bwd = run(cell, layer["bwd"], out, lengths, mask_bt, hidden_dim, True)
-            out = jnp.concatenate([fwd, bwd], axis=-1)
+        if scan_impl is not None:
+            fwd = scan_impl(cell, layer["fwd"], out, lengths, mask_bt, hidden_dim, False)
+            if bidirectional:
+                bwd = scan_impl(cell, layer["bwd"], out, lengths, mask_bt, hidden_dim, True)
+                out = jnp.concatenate([fwd, bwd], axis=-1)
+            else:
+                out = fwd
+        elif bidirectional:
+            out = _run_bidir_fused(cell, layer, out, lengths, mask_bt, hidden_dim)
         else:
-            out = fwd
+            out = _run_direction(
+                cell, layer["fwd"], out, lengths, mask_bt, hidden_dim, False
+            )
         if train and dropout_rate > 0.0 and li < len(layers) - 1 and rng is not None:
             rng, sub = jax.random.split(rng)
             keep = 1.0 - dropout_rate
