@@ -33,6 +33,27 @@ from .masking import length_mask, masked_reverse
 
 SCAN_UNROLL = 8  # scan body replication; tuned on v5e (tools/profile_rnn.py)
 
+# Pallas fused-scan kernels (ops/rnn_pallas.py).  Tri-state: None = auto
+# (on when running on TPU), forced via PVA_USE_PALLAS=1/0 or by assigning
+# the module global.  Unsupported shapes fall back to XLA automatically.
+import os as _os
+
+USE_PALLAS: bool | None = (
+    None
+    if "PVA_USE_PALLAS" not in _os.environ
+    else _os.environ["PVA_USE_PALLAS"] == "1"
+)
+_AUTO_PALLAS: bool | None = None
+
+
+def _pallas_enabled() -> bool:
+    global _AUTO_PALLAS
+    if USE_PALLAS is not None:
+        return USE_PALLAS
+    if _AUTO_PALLAS is None:
+        _AUTO_PALLAS = jax.default_backend() == "tpu"
+    return _AUTO_PALLAS
+
 
 def _uniform(rng, shape, bound, dtype=jnp.float32):
     return jax.random.uniform(rng, shape, dtype, minval=-bound, maxval=bound)
@@ -113,6 +134,18 @@ def _scan_packed(cell: str, xg, wh, bh, mask, width: int):
     w = width
     b = xg.shape[1]
     h0 = jnp.zeros((b, w), xg.dtype)
+
+    if _pallas_enabled():
+        if cell == "gru":
+            from .rnn_pallas import gru_scan
+
+            ys = gru_scan(xg, wh, bh, mask)
+        else:
+            from .rnn_pallas import lstm_scan
+
+            ys = lstm_scan(xg, wh, mask)  # biases already folded into xg
+        if ys is not None:
+            return ys
 
     if cell == "lstm":
         def step(carry, inp):
