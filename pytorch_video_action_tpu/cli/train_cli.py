@@ -14,6 +14,7 @@ from ..data import BatchFeed, BucketBatchSampler, VideoDataset
 from ..models import build_model
 from ..train import checkpoint as ckpt
 from ..train.loop import Trainer, evaluate
+from ..utils.observability import MetricsLogger, StepTimer, profile_trace
 
 
 def parse_arguments(argv=None):
@@ -81,6 +82,12 @@ def parse_arguments(argv=None):
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--resume', default=None,
                         help='Resume bundle path (params+optimizer+epoch)')
+    parser.add_argument('--metrics_jsonl', default=None,
+                        help='Write structured per-epoch metrics (loss, dev '
+                             'accuracies, frames/sec/chip) to this JSONL file')
+    parser.add_argument('--profile_dir', default=None,
+                        help='Capture a jax.profiler (TensorBoard) trace of '
+                             'the first training epoch into this directory')
     return parser.parse_args(argv)
 
 
@@ -165,19 +172,25 @@ def main(argv=None):
         print('Dev accuracy by segment: {:.3f}'.format(dev_acc))
         return
 
+    metrics = MetricsLogger(args.metrics_jsonl)
     previous_dev = 0.0
+    first_epoch = ts.epoch
     for epoch in range(ts.epoch, args.epoch):
         ts.epoch = epoch
         trainer.start_epoch(ts)
         start = datetime.now()
+        timer = StepTimer()
         running_loss = 0.0
         n_batches = 0
         print('Starting Epoch #{}, {} iterations'.format(
             epoch + 1, len(train_feed)))
-        for batch in train_feed:
-            loss = trainer.train_step(ts, batch)
-            running_loss += float(loss)
-            n_batches += 1
+        with profile_trace(args.profile_dir if epoch == first_epoch else None):
+            for batch in train_feed:
+                loss = trainer.train_step(ts, batch)
+                timer.note(int(np.sum(batch[1])), loss)
+                running_loss += float(loss)
+                n_batches += 1
+        epoch_s = timer.elapsed()
         delta_time = (datetime.now() - start).seconds / 60.0
         print('[%d, %5d] Train loss: %.3f (%.3f mins)' % (
             epoch + 1, n_batches, running_loss / max(n_batches - 1, 1),
@@ -186,11 +199,17 @@ def main(argv=None):
         print('Dev accuracy by frame: {:.3f}'.format(frame_acc))
         print('Dev accuracy by segment: {:.3f} (Current best: {:.3f})'.format(
             dev_acc, previous_dev))
+        metrics.epoch(
+            epoch + 1, running_loss / max(n_batches - 1, 1), frame_acc,
+            dev_acc, trainer.lr_for_epoch(epoch), epoch_s, timer.frames,
+        )
         if dev_acc > previous_dev:
             print('{} ==> {}'.format(dev_acc, previous_dev))
             model_path = 'models/{}.npz'.format(
                 ckpt.checkpoint_name(args.model, dev_acc))
             ckpt.save_params(model_path, ts.params)
+            metrics.log("checkpoint", path=model_path,
+                        dev_segment_acc=round(dev_acc, 4))
             previous_dev = dev_acc
         if args.resume is not None:
             ckpt.save_resume(args.resume, ts.params, ts.opt_state, epoch + 1)

@@ -138,3 +138,38 @@ def test_train_bilstm_lm_runs(synthetic_root):
         if i >= 2:
             break
     assert all(np.isfinite(losses))
+
+
+def test_train_cli_metrics_and_profile(synthetic_root, tmp_path, monkeypatch):
+    """train CLI end-to-end: JSONL metrics records + profiler trace files."""
+    from pytorch_video_action_tpu.cli.train_cli import main as train_main
+
+    monkeypatch.chdir(tmp_path)
+    metrics_path = str(tmp_path / "metrics.jsonl")
+    profile_dir = str(tmp_path / "trace")
+    train_main([
+        "--model", "simple_fc", "--epoch", "2", "--batchsize", "2",
+        "--data_dir", os.path.join(str(synthetic_root), "data"),
+        "--annot_path", str(synthetic_root),
+        "--bucket_multiple", "32",
+        "--metrics_jsonl", metrics_path,
+        "--profile_dir", profile_dir,
+    ])
+    import json
+
+    records = [json.loads(l) for l in open(metrics_path)]
+    epochs = [r for r in records if r["event"] == "epoch"]
+    assert len(epochs) == 2
+    for r in epochs:
+        assert r["frames"] > 0 and r["frames_per_sec"] > 0
+        assert "dev_segment_acc" in r and "train_loss" in r
+    # best-dev checkpoints recorded and present on disk
+    ckpts = [r for r in records if r["event"] == "checkpoint"]
+    assert ckpts and all(os.path.exists(r["path"]) for r in ckpts)
+    # the profiler wrote a trace capture for the first epoch
+    trace_files = [
+        os.path.join(d, f)
+        for d, _, fs in os.walk(profile_dir)
+        for f in fs
+    ]
+    assert trace_files, "jax.profiler produced no trace files"
