@@ -125,3 +125,68 @@ def test_graft_entry_dryrun():
     sys.path.insert(0, "/root/repo")
     mod = importlib.import_module("__graft_entry__")
     mod.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("impl", ["ring", "ulysses"])
+def test_sp_attention_matches_dense(impl):
+    """Ring/Ulysses attention on the time-sharded mesh == dense MHA."""
+    from pytorch_video_action_tpu.models.attention import (
+        init_mha, mha_self_attention,
+    )
+    from pytorch_video_action_tpu.parallel.ring import sp_mha_self_attention
+
+    e, heads = 16, 4
+    b, t = 4, 32
+    rng = np.random.default_rng(1)
+    x = rng.normal(size=(b, t, e)).astype(np.float32)
+    lengths = np.array([32, 17, 25, 9], np.int32)
+    mask = np.arange(t)[None, :] < lengths[:, None]
+
+    p = init_mha(jax.random.PRNGKey(0), e)
+    dense = np.asarray(
+        mha_self_attention(p, jnp.asarray(x), heads, key_mask=jnp.asarray(mask))
+    )
+
+    mesh = make_mesh(data=2, seq=4)
+
+    def local(p, x_loc, mask_loc):
+        return sp_mha_self_attention(p, x_loc, heads, mask_loc, impl=impl)
+
+    sp_out = jax.shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P("data", "seq", None), P("data", "seq")),
+        out_specs=P("data", "seq", None),
+    )(p, jnp.asarray(x), jnp.asarray(mask))
+    # padded query rows differ (dense: uniform softmax rows; sp: zeros) and
+    # are masked downstream — compare valid rows only.
+    for i, l in enumerate(lengths):
+        np.testing.assert_allclose(
+            np.asarray(sp_out)[i, :l], dense[i, :l], atol=2e-5
+        )
+
+
+@pytest.mark.parametrize("mode", ["cont", "avg"])
+def test_attn_forward_sp_matches_serial(mode):
+    from pytorch_video_action_tpu.models import build_model
+    from pytorch_video_action_tpu.parallel.ring import attn_forward_sp
+
+    model = build_model("attn", N_CLASS, pred_mode=mode, attn_head=4)
+    params = model.init(jax.random.PRNGKey(0))
+    x, lengths, _, _ = _batch(4, 64, seed=3)
+
+    serial = np.asarray(
+        model.apply(params, jnp.asarray(x), jnp.asarray(lengths), train=False)
+    )
+    mesh = make_mesh(data=2, seq=4)
+    sp = np.asarray(
+        attn_forward_sp(
+            params, model.config, jnp.asarray(x), jnp.asarray(lengths), mesh
+        )
+    )
+    if mode == "cont":
+        serial = serial.reshape(4, 64, N_CLASS)
+        sp = sp.reshape(4, 64, N_CLASS)
+        for i, l in enumerate(lengths):
+            np.testing.assert_allclose(sp[i, :l], serial[i, :l], atol=3e-5)
+    else:
+        np.testing.assert_allclose(sp, serial, atol=3e-5)
