@@ -53,7 +53,10 @@ def dilated_residual_layer(
 ) -> jax.Array:
     """Reference ``DilatedResidualLayer`` (``networks.py:336-347``):
     relu(dilated conv) -> 1x1 conv -> dropout -> residual -> frame mask."""
-    if use_pallas and not train:
+    # the fused kernel covers every case except active dropout (train time);
+    # it carries a custom VJP (recompute via the XLA path) so it is safe
+    # under jax.grad.
+    if use_pallas and (not train or dropout_rate == 0.0 or rng is None):
         from .conv_pallas import fused_dilated_residual
 
         out = fused_dilated_residual(layer, x, mask, dilation)

@@ -144,3 +144,79 @@ def test_bigru_model_with_pallas_matches():
     finally:
         rnn_ops.USE_PALLAS = False
     np.testing.assert_allclose(out_pl, out_xla, atol=1e-4, rtol=1e-3)
+
+
+# ================================================================ fused conv
+
+
+def _conv_layer(seed=0, c=64):
+    from pytorch_video_action_tpu.ops.conv import init_conv1d
+
+    r1, r2 = jax.random.split(jax.random.PRNGKey(seed))
+    return {
+        "conv_dilated": init_conv1d(r1, c, c, 3),
+        "conv_1x1": init_conv1d(r2, c, c, 1),
+    }
+
+
+def _conv_inputs(seed=0, b=2, t=48, c=64):
+    rng = np.random.default_rng(seed)
+    x = jnp.asarray(rng.normal(size=(b, t, c)).astype(np.float32))
+    lengths = np.array([t, t // 2] * (b // 2), np.int32)[:b]
+    mask = jnp.asarray(
+        (np.arange(t)[None, :] < lengths[:, None]).astype(np.float32)[:, :, None]
+    )
+    return x, mask
+
+
+@pytest.mark.parametrize("dilation", [1, 4, 16, 64])
+def test_fused_dilated_residual_matches_xla(dilation):
+    """dilation=64 > T exercises the taps-contribute-zero path."""
+    from pytorch_video_action_tpu.ops.conv import dilated_residual_layer
+    from pytorch_video_action_tpu.ops.conv_pallas import fused_dilated_residual
+
+    layer = _conv_layer()
+    x, mask = _conv_inputs()
+    expect = np.asarray(
+        dilated_residual_layer(layer, x, mask, dilation=dilation, train=False)
+    )
+    got = fused_dilated_residual(layer, x, mask, dilation)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), expect, atol=2e-5, rtol=1e-4)
+
+
+def test_fused_dilated_residual_grads_match_xla():
+    from pytorch_video_action_tpu.ops.conv import dilated_residual_layer
+    from pytorch_video_action_tpu.ops.conv_pallas import fused_dilated_residual
+
+    layer = _conv_layer(1)
+    x, mask = _conv_inputs(1)
+
+    def loss_pallas(layer, x):
+        return jnp.sum(fused_dilated_residual(layer, x, mask, 4) ** 2)
+
+    def loss_xla(layer, x):
+        return jnp.sum(
+            dilated_residual_layer(layer, x, mask, dilation=4, train=False) ** 2
+        )
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(layer, x)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(layer, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4)
+
+
+def test_mstcn_pallas_model_matches_xla():
+    from pytorch_video_action_tpu.models import mstcn
+
+    cfg_x = mstcn.MSTCNConfig(dim=16, num_stages=2, num_layers=5, num_f_maps=64,
+                              n_class=5, use_pallas=False)
+    cfg_p = mstcn.MSTCNConfig(dim=16, num_stages=2, num_layers=5, num_f_maps=64,
+                              n_class=5, use_pallas=True)
+    params = mstcn.init(jax.random.PRNGKey(0), cfg_x)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.normal(size=(2, 40, 16)).astype(np.float32))
+    lengths = jnp.asarray(np.array([40, 23], np.int32))
+    out_x = np.asarray(mstcn.apply(params, cfg_x, x, lengths, train=False))
+    out_p = np.asarray(mstcn.apply(params, cfg_p, x, lengths, train=False))
+    np.testing.assert_allclose(out_p, out_x, atol=3e-5, rtol=1e-4)
