@@ -20,23 +20,39 @@ from ..data.bundles import read_lines
 def stratified_kfold_indices(y: np.ndarray, n_splits: int, seed: int = 123):
     """Stratified K-fold; uses scikit-learn when available (reference parity,
     ``data_splitting.py:68``), else an order-preserving fallback with the
-    same class-balance guarantee."""
+    same class-balance guarantee.
+
+    The reference passes ``random_state=123`` without ``shuffle`` — on its
+    sklearn that was silently ignored (shuffle=False is deterministic);
+    modern sklearn raises for that combination, so true parity is
+    ``StratifiedKFold(n_splits)`` with no random_state."""
+    del seed  # kept in the signature for the reference's CLI surface
     try:
         from sklearn.model_selection import StratifiedKFold
-
-        skf = StratifiedKFold(n_splits=n_splits, random_state=seed)
+    except ImportError:
+        pass
+    else:
+        # sklearn's own validation errors (e.g. n_splits > smallest class
+        # count) must propagate — the reference would crash the same way
+        skf = StratifiedKFold(n_splits=n_splits)
         return list(skf.split(np.zeros_like(y), y))
-    except Exception:
-        folds: list[list[int]] = [[] for _ in range(n_splits)]
-        for cls in np.unique(y):
-            for j, idx in enumerate(np.nonzero(y == cls)[0]):
-                folds[j % n_splits].append(int(idx))
-        out = []
-        for k in range(n_splits):
-            dev = np.array(sorted(folds[k]))
-            train = np.array(sorted(set(range(len(y))) - set(folds[k])))
-            out.append((train, dev))
-        return out
+    folds: list[list[int]] = [[] for _ in range(n_splits)]
+    for cls in np.unique(y):
+        for j, idx in enumerate(np.nonzero(y == cls)[0]):
+            folds[j % n_splits].append(int(idx))
+    if any(not f for f in folds):
+        raise ValueError(
+            f"n_splits={n_splits} is greater than the number of members in "
+            "the smallest class"
+        )
+    out = []
+    for k in range(n_splits):
+        dev = np.array(sorted(folds[k]), dtype=np.int64)
+        train = np.array(
+            sorted(set(range(len(y))) - set(folds[k])), dtype=np.int64
+        )
+        out.append((train, dev))
+    return out
 
 
 def parse_arguments(argv=None):
@@ -90,9 +106,14 @@ def main(argv=None):
             ('train', train_action, train_index),
             ('dev', dev_action, dev_index),
         ):
+            # NB: the reference CODE omits this newline (data_splitting.py:103)
+            # which would glue the first path onto the header; its CHECKED-IN
+            # bundles have the header on its own line (splits/new_splits/
+            # train.split0.bundle line 1) — the artifact format is the
+            # contract the readers consume, so we write the newline.
             path = os.path.join(out_dir, f'{part}.split{part_idx}.bundle')
             with open(path, 'w') as f:
-                f.write('# ' + str(counter))
+                f.write('# ' + str(counter) + '\n')
                 for filepath in x[idx]:
                     f.write(filepath + '\n')
 

@@ -217,3 +217,42 @@ def test_batch_feed(synthetic_root):
         assert mask.shape == padded.shape[:2]
         n += 1
     assert n == len(feed)
+
+
+def test_data_splitting_cli_e2e(synthetic_root, tmp_path):
+    """data_splitting CLI: writes n_splits train/dev bundle pairs whose
+    header is its own line, partitions are disjoint/complete, and the
+    emitted bundles are directly consumable by VideoDataset."""
+    import shutil
+
+    from pytorch_video_action_tpu.cli.data_splitting_cli import main as split_main
+    from pytorch_video_action_tpu.data.bundles import read_lines
+
+    root = tmp_path / "ds"
+    shutil.copytree(synthetic_root, root)
+    shutil.rmtree(root / "splits" / "new_splits")
+    split_main(["--annot_path", str(root), "--n_splits", "2"])
+
+    out = root / "splits" / "new_splits"
+    kaggle = read_lines(
+        str(root / "splits" / "splits" / "train.split1.bundle"), offset_start=1
+    )
+    for k in range(2):
+        train_b = str(out / f"train.split{k}.bundle")
+        dev_b = str(out / f"dev.split{k}.bundle")
+        assert open(train_b).readline().startswith("# Counter(")
+        train = read_lines(train_b, offset_start=1)
+        dev = read_lines(dev_b, offset_start=1)
+        assert set(train) | set(dev) == set(kaggle)
+        assert not set(train) & set(dev)
+    assert (out / "split_statistics.txt").exists()
+
+    from pytorch_video_action_tpu.data import VideoDataset
+
+    ds = VideoDataset(
+        data_dir=str(root / "data"), annot_path=str(root), part="dev",
+        split=0, mode="active",
+        cache_dir=str(tmp_path / "cache-split-cli"), verbose=False,
+    )
+    assert len(ds.features) == len(read_lines(str(out / "dev.split0.bundle"),
+                                              offset_start=1))
