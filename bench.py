@@ -28,6 +28,9 @@ REF_STEPS = int(os.environ.get("PVA_BENCH_REF_STEPS", 1))
 
 
 def bench_tpu() -> float:
+    from __graft_entry__ import _enable_compile_cache
+
+    _enable_compile_cache()
     import jax
     import jax.numpy as jnp
     import optax
