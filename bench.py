@@ -25,6 +25,10 @@ T = int(os.environ.get("PVA_BENCH_T", 1024))
 N_CLASS = 48
 STEPS = int(os.environ.get("PVA_BENCH_STEPS", 10))
 REF_STEPS = int(os.environ.get("PVA_BENCH_REF_STEPS", 1))
+# bf16 mixed precision (f32 master weights/softmax/loss) — the TPU-native
+# production configuration; validated for training quality in
+# tests/test_training.py::test_bf16_mixed_precision_training_learns
+DTYPE = os.environ.get("PVA_BENCH_DTYPE", "bfloat16")
 
 
 def bench_tpu() -> float:
@@ -43,6 +47,7 @@ def bench_tpu() -> float:
     tx = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
     opt_state = tx.init(params)
 
+    cd = jnp.dtype(DTYPE) if DTYPE != "float32" else None
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(B, T, 400)).astype(np.float32))
     lengths = jnp.full((B,), T, dtype=jnp.int32)
@@ -50,7 +55,10 @@ def bench_tpu() -> float:
     key = jax.random.PRNGKey(1)
 
     def loss_fn(p, rng_i):
-        out = model.apply(p, x, lengths, train=True, rng=rng_i)
+        if cd is not None:  # mixed precision: f32 master -> bf16 body
+            p = jax.tree.map(lambda a: a.astype(cd), p)
+        out = model.apply(p, x.astype(cd) if cd is not None else x,
+                          lengths, train=True, rng=rng_i)
         return nll_loss(out, targets)
 
     @jax.jit

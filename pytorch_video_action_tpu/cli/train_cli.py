@@ -82,6 +82,10 @@ def parse_arguments(argv=None):
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--resume', default=None,
                         help='Resume bundle path (params+optimizer+epoch)')
+    parser.add_argument('--dtype', default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='Compute dtype for the model body (master '
+                             'params, softmax and loss stay float32)')
     parser.add_argument('--metrics_jsonl', default=None,
                         help='Write structured per-epoch metrics (loss, dev '
                              'accuracies, frames/sec/chip) to this JSONL file')
@@ -141,6 +145,7 @@ def main(argv=None):
         model, n_class,
         lr=args.lr, lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
         seed=args.seed, sharding=sharding,
+        compute_dtype=None if args.dtype == 'float32' else args.dtype,
     )
     ts = trainer.init_state()
 

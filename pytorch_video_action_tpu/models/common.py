@@ -34,7 +34,9 @@ def dropout(rng, x: jax.Array, rate: float, train: bool) -> jax.Array:
 
 
 def log_softmax(x: jax.Array) -> jax.Array:
-    return jax.nn.log_softmax(x, axis=-1)
+    # always in f32: under the bf16 mixed-precision policy the body computes
+    # in bf16 but normalization/loss stay full precision (standard TPU recipe)
+    return jax.nn.log_softmax(x.astype(jnp.float32), axis=-1)
 
 
 def split_rng(rng, n: int):

@@ -80,7 +80,7 @@ def _gru_fwd_kernel(xg_ref, wh_ref, bh_ref, ys_ref, h_ref):
         n = jnp.tanh(g_x[:, 2 * w :] + r * hg[:, 2 * w :])
         hn = (1.0 - z) * n + z * h
         h_ref[:] = hn
-        ys_ref[t] = hn
+        ys_ref[t] = hn.astype(ys_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, xg_ref.shape[0], body, 0, unroll=True)
@@ -144,7 +144,9 @@ def _gru_bwd_kernel(
         dpre_z = dz * z * (1.0 - z)
         # x side sees xn directly (grad dpre_n); hidden side sees r * hg_n
         # (grad dpre_n * r) — r/z blocks are shared between both sides
-        dxg_ref[t] = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1)
+        dxg_ref[t] = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1).astype(
+            dxg_ref.dtype
+        )
         dhg = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=-1)
         dh_ref[:] = dh * z + jnp.dot(
             dhg, wh_ref[:].T, preferred_element_type=jnp.float32
@@ -253,8 +255,8 @@ def _lstm_fwd_kernel(xg_ref, wh_ref, ys_ref, cs_ref, h_ref, c_ref):
         hn = o * jnp.tanh(c)
         h_ref[:] = hn
         c_ref[:] = c
-        ys_ref[t] = hn
-        cs_ref[t] = c
+        ys_ref[t] = hn.astype(ys_ref.dtype)
+        cs_ref[t] = c.astype(cs_ref.dtype)
         return 0
 
     jax.lax.fori_loop(0, xg_ref.shape[0], body, 0, unroll=True)
@@ -322,7 +324,7 @@ def _lstm_bwd_kernel(
         dpre_g = dc * ii * (1.0 - g * g)
         dpre_o = do * o * (1.0 - o)
         dgates = jnp.concatenate([dpre_i, dpre_f, dpre_g, dpre_o], axis=-1)
-        dxg_ref[t] = dgates
+        dxg_ref[t] = dgates.astype(dxg_ref.dtype)
         dh_ref[:] = jnp.dot(dgates, wh_ref[:].T, preferred_element_type=jnp.float32)
         dc_ref[:] = dc * f
         dwh_ref[:] += jnp.dot(hp.T, dgates, preferred_element_type=jnp.float32)

@@ -52,13 +52,21 @@ class Trainer:
         lr_gamma: float = 1.0,
         seed: int = 0,
         sharding=None,
+        compute_dtype=None,
     ):
+        """``compute_dtype`` (e.g. ``jnp.bfloat16`` or ``'bfloat16'``) enables
+        mixed-precision training: master params, optimizer state, softmax and
+        loss stay float32; the model body (matmuls, scans, convs) runs in the
+        compute dtype — the standard TPU recipe (MXU is natively bf16)."""
         self.model = model
         self.n_class = n_class
         self.is_ctc = model.name == "ctcloss"
         self.loss_fn = make_loss_fn(model.name, n_class)
         self.tx, self.lr_for_epoch = make_optimizer(lr, lr_step_size, lr_gamma)
         self.sharding = sharding
+        self.compute_dtype = (
+            jnp.dtype(compute_dtype) if compute_dtype is not None else None
+        )
         self._step = self._build_step()
         self._rng0 = jax.random.PRNGKey(seed)
 
@@ -84,16 +92,30 @@ class Trainer:
         is_ctc = self.is_ctc
         stateful = model.stateful
 
+        cd = self.compute_dtype
+
+        def cast_tree(tree):
+            return jax.tree.map(
+                lambda a: a.astype(cd)
+                if jnp.issubdtype(a.dtype, jnp.floating) else a,
+                tree,
+            )
+
         @partial(jax.jit, donate_argnums=(0, 1))
         def step(params, opt_state, model_state, x, lengths, targets, rng, ctc_t, ctc_tl):
             def compute_loss(p):
+                # mixed precision: cast params+inputs for the body; grads flow
+                # back to the float32 master params through the cast
+                p_c = cast_tree(p) if cd is not None else p
+                x_c = x.astype(cd) if cd is not None else x
                 if stateful:
                     out, new_ms = model.apply(
-                        p, x, lengths, train=True, rng=rng, state=model_state
+                        p_c, x_c, lengths, train=True, rng=rng, state=model_state
                     )
                 else:
-                    out = model.apply(p, x, lengths, train=True, rng=rng)
+                    out = model.apply(p_c, x_c, lengths, train=True, rng=rng)
                     new_ms = model_state
+                out = out.astype(jnp.float32)
                 if is_ctc:
                     loss = loss_fn(out, lengths, ctc_t, ctc_tl)
                 else:
