@@ -40,6 +40,11 @@ def parse_arguments(argv=None):
     parser.add_argument('--results_dir', default='results')
     parser.add_argument('--bucket_multiple', type=int, default=128)
     parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--device_beam', type=bool, nargs='?', const=True,
+                        default=False,
+                        help='Run the beam search as one batched TPU program '
+                             '(densified trigram LM); identical results to '
+                             'the host loop')
     return parser.parse_args(argv)
 
 
@@ -68,6 +73,7 @@ def main(argv=None):
         beam_size=args.beam_size, threshold=args.threshold,
         remove_zero=args.remove_zero,
         bucket_multiple=args.bucket_multiple, batch_size=args.batch_size,
+        device_beam=args.device_beam,
     )
     if args.part == 'dev':
         return out

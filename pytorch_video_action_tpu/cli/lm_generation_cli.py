@@ -47,7 +47,8 @@ def main(argv=None):
         sentences.append(segment_label_sequence(ids))
 
     out = args.out or os.path.join(annot_path, 'groundTruth', 'segment_labels.txt')
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    if os.path.dirname(out):
+        os.makedirs(os.path.dirname(out), exist_ok=True)
     with open(out, 'w') as f:
         for sent in sentences:
             f.write(' '.join(sent) + '\n')

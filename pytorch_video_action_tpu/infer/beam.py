@@ -22,16 +22,16 @@ from .predict import frame_predictions
 from .voting import candidate_labels
 
 
-def beam_search_segments(
+def collect_candidates(
     per_model_preds: list[np.ndarray],
     segments: list[int],
-    lm_model,
-    beam_size: int = 5,
     threshold: float = 0.2,
     remove_zero: bool = False,
-) -> list[str]:
-    """Beam-decode one video; returns the best label-string sequence."""
-    beam: list[tuple[str, float]] = [("", 0.0)]
+) -> list[list[int]]:
+    """Per-segment pooled ensemble candidates (reference
+    ``inference-lm.py:138-158``): union of every model's above-threshold
+    labels, sorted; optional zero removal; empty -> [0]."""
+    out: list[list[int]] = []
     for index in range(len(segments) - 1):
         start, end = int(segments[index]), int(segments[index + 1])
         pooled: list[int] = []
@@ -43,6 +43,23 @@ def beam_search_segments(
             candidates = nz if nz else [0]
         if not candidates:
             candidates = [0]
+        out.append(candidates)
+    return out
+
+
+def beam_search_segments(
+    per_model_preds: list[np.ndarray],
+    segments: list[int],
+    lm_model,
+    beam_size: int = 5,
+    threshold: float = 0.2,
+    remove_zero: bool = False,
+) -> list[str]:
+    """Beam-decode one video; returns the best label-string sequence."""
+    beam: list[tuple[str, float]] = [("", 0.0)]
+    for candidates in collect_candidates(
+        per_model_preds, segments, threshold, remove_zero
+    ):
         new_beam = []
         for current_pred, _ in beam:
             for label in candidates:
@@ -63,8 +80,13 @@ def run_beam_inference(
     bucket_multiple: int = 128,
     batch_size: int = 8,
     verbose: bool = True,
+    device_beam: bool = False,
 ):
-    """Dev -> segment accuracy; test -> flat list of predicted labels."""
+    """Dev -> segment accuracy; test -> flat list of predicted labels.
+
+    ``device_beam=True`` runs the whole beam search as one batched TPU
+    program (``lm/device_beam.py``) — identical results, no per-prefix host
+    LM rescoring loop."""
     lm_model = load_lm(lm_path)
     all_preds = {
         key: frame_predictions(
@@ -73,22 +95,54 @@ def run_beam_inference(
         )
         for key, (mdef, params) in models.items()
     }
-    results: list[str] = []
-    correct_segment = total_segment = 0
     n_videos = len(dataset.features)
+    video_segments: list = []
+    video_labels: list = []
     for i in range(n_videos):
-        if verbose and i % 10 == 0:
-            print(f"{i} out of {n_videos}")
         if part == "dev":
             labels = np.asarray(dataset.labels[i])
             label_seq, segments = run_length_segments(labels)
         else:
             label_seq = []
             segments = dataset.segment_lines[i]
-        preds_per_model = [all_preds[key][i][0] for key in models]
-        prediction = beam_search_segments(
-            preds_per_model, segments, lm_model, beam_size, threshold, remove_zero
+        video_segments.append(segments)
+        video_labels.append(label_seq)
+
+    if device_beam:
+        from ..lm.device_beam import (
+            dense_trigram_table, device_beam_search, pack_candidates,
         )
+
+        per_video_cands = [
+            collect_candidates(
+                [all_preds[key][i][0] for key in models],
+                video_segments[i], threshold, remove_zero,
+            )
+            for i in range(n_videos)
+        ]
+        # densification needs the pure-Python scorer's backoff internals
+        # (lm_model may be kenlm or the native C++ scorer)
+        table, ids = dense_trigram_table(lm_path, dataset.n_class)
+        cand, nseg = pack_candidates(per_video_cands, dataset.n_class)
+        predictions = device_beam_search(table, ids, cand, nseg, beam_size)
+        predictions = [[str(t) for t in seq] for seq in predictions]
+    else:
+        predictions = []
+        for i in range(n_videos):
+            if verbose and i % 10 == 0:
+                print(f"{i} out of {n_videos}")
+            preds_per_model = [all_preds[key][i][0] for key in models]
+            predictions.append(
+                beam_search_segments(
+                    preds_per_model, video_segments[i], lm_model,
+                    beam_size, threshold, remove_zero,
+                )
+            )
+
+    results: list[str] = []
+    correct_segment = total_segment = 0
+    for i in range(n_videos):
+        prediction, label_seq = predictions[i], video_labels[i]
         if part == "dev":
             assert len(prediction) == len(label_seq)
             for k, p in enumerate(prediction):

@@ -1,0 +1,183 @@
+"""TPU-vectorized LM beam search over segment label sequences.
+
+The reference's beam search (``inference-lm.py:160-168``) is a host-side
+Python loop that re-scores every *full prefix string* with kenlm at every
+expansion — O(beam * candidates * prefix_len) LM lookups per segment, per
+video, serialized on the host.  On TPU we make decoding a batched tensor
+program (the direction of the retrieved vectorized-beam-search literature,
+PAPERS.md — e.g. FlexCTC's GPU beam decoding):
+
+1. **Densify the LM.**  The vocabulary is tiny (48 labels + <s>, </s>,
+   <unk>), so the whole backoff-resolved trigram distribution fits in a
+   ``[V, V, V]`` float32 table (~0.5 MB for V=51):
+   ``table[c2, c1, w] = log10 P(w | c2, c1)`` with ARPA backoff applied at
+   build time.  Scoring any sequence is then pure gathers — bitwise equal to
+   ``ArpaLanguageModel.score`` (tested).
+2. **Score incrementally.**  kenlm's ``score(prefix)`` = log10 P(prefix </s>)
+   differs from the previous step's score by one conditional term plus the
+   *moved* </s> term, so the beam carries cumulative no-eos scores and ranks
+   by ``cum + logP(</s> | new context)`` — identical ranking to re-scoring
+   the full string, without the O(len) rescan.
+3. **Batch everything.**  All videos decode simultaneously:
+   candidates ``[N, S_max, K]`` (-1 padded), one ``lax.scan`` over the
+   segment axis; each step is a ``[N, B, K]`` gather + top-k.  Padded
+   segments are identity steps.  Ties resolve like the host's stable
+   descending sort (beam-major, candidate-minor order), so results match
+   the host beam exactly, not just statistically.
+
+``--device_beam`` on the inference-lm CLI switches this in; the host loop
+remains the default (and the oracle in tests/test_lm.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+BOS, EOS, UNK = "<s>", "</s>", "<unk>"
+
+
+def dense_trigram_table(lm, n_labels: int):
+    """Backoff-resolve an ARPA model (order <= 3) into dense tables.
+
+    Returns ``(table [V, V, V] float32, ids: dict word->id)`` where the word
+    ids 0..n_labels-1 are the label tokens (str(i)) and the last three ids
+    are <s>, </s>, <unk>.  ``table[c2, c1, w] = log10 P(w | c2 c1)``; for
+    bigram/unigram models backoff resolution collapses the unused context
+    axes automatically.
+    """
+    if isinstance(lm, str):  # a path: densification needs the pure-Python
+        from .arpa import ArpaLanguageModel  # scorer's backoff internals
+
+        lm = ArpaLanguageModel(lm)
+    if not hasattr(lm, "_word_logprob"):
+        raise TypeError(
+            "dense_trigram_table needs an ArpaLanguageModel (or a path); "
+            f"got {type(lm).__name__} — pass the .arpa path instead"
+        )
+    if getattr(lm, "order", 3) > 3:
+        raise ValueError(f"device beam supports order<=3 ARPA, got {lm.order}")
+    words = [str(i) for i in range(n_labels)] + [BOS, EOS, UNK]
+    ids = {w: i for i, w in enumerate(words)}
+    v = len(words)
+    table = np.empty((v, v, v), np.float32)
+    for i2, c2 in enumerate(words):
+        for i1, c1 in enumerate(words):
+            ctx = (c2, c1)
+            for iw, w in enumerate(words):
+                table[i2, i1, iw] = lm._word_logprob(ctx, w)
+    return table, ids
+
+
+def _host_context(ctx_word: str, ids: dict) -> int:
+    return ids.get(ctx_word, ids[UNK])
+
+
+def device_beam_search(
+    table: np.ndarray,
+    ids: dict,
+    candidates: np.ndarray,
+    n_segments: np.ndarray,
+    beam_size: int = 5,
+) -> list[list[int]]:
+    """Decode all videos at once on the accelerator.
+
+    Args:
+      table:       ``[V, V, V]`` log10 conditional table from
+                   :func:`dense_trigram_table`.
+      candidates:  ``[N, S_max, K]`` int32 candidate label ids per segment,
+                   -1 padded (both unused candidate slots and segments past
+                   ``n_segments[i]``).
+      n_segments:  ``[N]`` int32 true segment counts.
+    Returns per-video best label sequences (Python ints).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    n, s_max, k = candidates.shape
+    b = beam_size
+    bos, eos = ids[BOS], ids[EOS]
+    neg = jnp.float32(-1e30)
+
+    table_j = jnp.asarray(table)
+    cand = jnp.asarray(candidates, jnp.int32)              # [N, S, K]
+    cand_valid = cand >= 0
+    cand_safe = jnp.where(cand_valid, cand, 0)
+    nseg = jnp.asarray(n_segments, jnp.int32)
+
+    # beam state: contexts [N, B, 2], cumulative no-eos scores [N, B],
+    # chosen-token history [N, B, S] (ancestry is folded in by gathering the
+    # parent's history at every step, so no separate backpointers)
+    ctx0 = jnp.full((n, b, 2), bos, jnp.int32)
+    score0 = jnp.where(jnp.arange(b) == 0, 0.0, neg)[None, :].repeat(n, 0)
+    hist0 = jnp.full((n, b, s_max), -1, jnp.int32)
+
+    def step(state, inp):
+        ctx, score, hist = state
+        seg_idx, c_tok, c_val = inp                        # [], [N,K], [N,K]
+        active = seg_idx < nseg                            # [N]
+        # expansion scores: cum + logP(tok | ctx)
+        cond = table_j[ctx[:, :, 0], ctx[:, :, 1]]         # [N, B, V]
+        tok_lp = jnp.take_along_axis(
+            cond, c_tok[:, None, :].repeat(b, 1), axis=-1
+        )                                                  # [N, B, K]
+        cum = score[:, :, None] + tok_lp
+        cum = jnp.where(c_val[:, None, :], cum, neg)
+        # ranking key adds the </s> term of the NEW context (kenlm semantics)
+        eos_lp = table_j[ctx[:, :, 1][:, :, None], c_tok[:, None, :], eos]
+        rank = jnp.where(c_val[:, None, :], cum + eos_lp, neg)
+        # stable top-k over beam-major flattened candidates = host tie order
+        rank_flat = rank.reshape(n, b * k)
+        _, top = jax.lax.top_k(rank_flat, b)               # [N, B]
+        parent = top // k
+        choice = top % k
+        new_tok = jnp.take_along_axis(c_tok, choice, axis=1)  # [N, B]
+        new_ctx = jnp.stack(
+            [jnp.take_along_axis(ctx[:, :, 1], parent, 1), new_tok], axis=-1
+        )
+        new_score = jnp.take_along_axis(cum.reshape(n, b * k), top, 1)
+        # histories follow the parent, then record the chosen token
+        gather_hist = jnp.take_along_axis(hist, parent[:, :, None], 1)
+        new_hist = gather_hist.at[:, :, seg_idx].set(new_tok)
+        # inactive (padded) videos keep their state
+        keep = active[:, None]
+        ctx = jnp.where(keep[:, :, None], new_ctx, ctx)
+        score = jnp.where(keep, new_score, score)
+        hist = jnp.where(keep[:, :, None], new_hist, hist)
+        return (ctx, score, hist), None
+
+    xs = (
+        jnp.arange(s_max),
+        jnp.swapaxes(cand_safe, 0, 1),
+        jnp.swapaxes(cand_valid, 0, 1),
+    )
+    (ctx, score, hist), _ = jax.lax.scan(step, (ctx0, score0, hist0), xs)
+    # final ranking includes </s> exactly like lm.score(full prefix)
+    final_eos = table_j[ctx[:, :, 0], ctx[:, :, 1], eos]
+    best = jnp.argmax(score + final_eos, axis=1)           # [N]
+    hist_np = np.asarray(hist)
+    best_np = np.asarray(best)
+    nseg_np = np.asarray(nseg)
+    out = []
+    for i in range(n):
+        seq = hist_np[i, best_np[i], : nseg_np[i]]
+        out.append([int(t) for t in seq])
+    return out
+
+
+def pack_candidates(
+    per_video_candidates: list[list[list[int]]], n_labels: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Ragged per-video per-segment candidate lists -> padded ``[N, S, K]``
+    plus ``[N]`` segment counts (label ids are already table ids 0..47)."""
+    n = len(per_video_candidates)
+    s_max = max((len(v) for v in per_video_candidates), default=1) or 1
+    k_max = max(
+        (len(c) for v in per_video_candidates for c in v), default=1
+    ) or 1
+    cand = np.full((n, s_max, k_max), -1, np.int32)
+    nseg = np.zeros((n,), np.int32)
+    for i, vid in enumerate(per_video_candidates):
+        nseg[i] = len(vid)
+        for s, cs in enumerate(vid):
+            cand[i, s, : len(cs)] = cs
+    return cand, nseg

@@ -74,7 +74,10 @@ def _gru_fwd_kernel(xg_ref, wh_ref, bh_ref, ys_ref, h_ref):
     def body(t, _):
         g_x = xg_ref[t]
         h = h_ref[:]
-        hg = jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32) + bh_ref[0]
+        hg = jnp.dot(
+            h.astype(wh_ref.dtype), wh_ref[:],
+            preferred_element_type=jnp.float32,
+        ) + bh_ref[0]
         r = _sigmoid(g_x[:, :w] + hg[:, :w])
         z = _sigmoid(g_x[:, w : 2 * w] + hg[:, w : 2 * w])
         n = jnp.tanh(g_x[:, 2 * w :] + r * hg[:, 2 * w :])
@@ -148,10 +151,11 @@ def _gru_bwd_kernel(
             dxg_ref.dtype
         )
         dhg = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=-1)
+        dhg_c = dhg.astype(wh_ref.dtype)
         dh_ref[:] = dh * z + jnp.dot(
-            dhg, wh_ref[:].T, preferred_element_type=jnp.float32
+            dhg_c, wh_ref[:].T, preferred_element_type=jnp.float32
         )
-        dwh_ref[:] += jnp.dot(hp.T, dhg, preferred_element_type=jnp.float32)
+        dwh_ref[:] += jnp.dot(hp.T, dhg_c, preferred_element_type=jnp.float32)
         dbh_ref[:] += jnp.sum(dhg, axis=0, keepdims=True)
         return 0
 
@@ -246,7 +250,10 @@ def _lstm_fwd_kernel(xg_ref, wh_ref, ys_ref, cs_ref, h_ref, c_ref):
     def body(t, _):
         g_x = xg_ref[t]
         h = h_ref[:]
-        gates = g_x + jnp.dot(h, wh_ref[:], preferred_element_type=jnp.float32)
+        gates = g_x + jnp.dot(
+            h.astype(wh_ref.dtype), wh_ref[:],
+            preferred_element_type=jnp.float32,
+        )
         ii = _sigmoid(gates[:, :w])
         f = _sigmoid(gates[:, w : 2 * w])
         g = jnp.tanh(gates[:, 2 * w : 3 * w])
@@ -324,10 +331,13 @@ def _lstm_bwd_kernel(
         dpre_g = dc * ii * (1.0 - g * g)
         dpre_o = do * o * (1.0 - o)
         dgates = jnp.concatenate([dpre_i, dpre_f, dpre_g, dpre_o], axis=-1)
+        dgates_c = dgates.astype(wh_ref.dtype)
         dxg_ref[t] = dgates.astype(dxg_ref.dtype)
-        dh_ref[:] = jnp.dot(dgates, wh_ref[:].T, preferred_element_type=jnp.float32)
+        dh_ref[:] = jnp.dot(
+            dgates_c, wh_ref[:].T, preferred_element_type=jnp.float32
+        )
         dc_ref[:] = dc * f
-        dwh_ref[:] += jnp.dot(hp.T, dgates, preferred_element_type=jnp.float32)
+        dwh_ref[:] += jnp.dot(hp.T, dgates_c, preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, t_chunk, body, 0, unroll=True)

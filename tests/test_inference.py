@@ -162,6 +162,10 @@ def test_beam_inference(synthetic_root, trained_models, tmp_path):
     acc = lm_main(argv)
     assert 0.0 <= acc <= 100.0
 
+    # device (batched TPU) beam search must reproduce the host result exactly
+    acc_dev = lm_main(argv + ["--device_beam"])
+    assert acc_dev == acc
+
     argv_test = (
         ["--pretrained_model", *trained_models["names"], "--part", "test",
          "--lm_path", arpa]

@@ -86,3 +86,72 @@ def test_kenlm_crosscheck(arpa_path):
 def test_perplexity(arpa_path):
     lm = ArpaLanguageModel(arpa_path)
     assert lm.perplexity("1 2 3") < lm.perplexity("3 1 1")
+
+
+# ---------------------------------------------------------- device beam search
+
+
+def test_dense_table_matches_scorer(arpa_path):
+    from pytorch_video_action_tpu.lm.device_beam import dense_trigram_table
+
+    lm = ArpaLanguageModel(arpa_path)
+    table, ids = dense_trigram_table(lm, n_labels=5)
+    rng = np.random.default_rng(0)
+    words = [str(i) for i in range(5)] + ["<s>"]
+    for _ in range(200):
+        c2, c1 = rng.choice(words), rng.choice(words)
+        w = str(rng.integers(0, 5))
+        expect = lm._word_logprob((c2, c1), w)
+        got = table[ids[c2], ids[c1], ids[w]]
+        assert abs(got - expect) < 1e-6, (c2, c1, w)
+
+
+def test_device_beam_matches_host_beam(arpa_path):
+    """Batched TPU beam search == host beam_search_segments, exactly,
+    across random candidate structures (incl. single-candidate segments,
+    full-vocab segments, different lengths per video)."""
+    from pytorch_video_action_tpu.infer.beam import beam_search_segments
+    from pytorch_video_action_tpu.lm.arpa import ArpaLanguageModel
+    from pytorch_video_action_tpu.lm.device_beam import (
+        dense_trigram_table, device_beam_search, pack_candidates,
+    )
+
+    lm = ArpaLanguageModel(arpa_path)
+    n_labels = 5
+    rng = np.random.default_rng(7)
+
+    # synthesize per-video candidate sets by faking single-model predictions
+    # with the given candidates repeated (threshold 0 -> all appear)
+    videos = []
+    for _ in range(6):
+        n_seg = int(rng.integers(1, 7))
+        cands = [
+            sorted(rng.choice(n_labels, size=int(rng.integers(1, 4)),
+                              replace=False).tolist())
+            for _ in range(n_seg)
+        ]
+        videos.append(cands)
+
+    from pytorch_video_action_tpu.infer.beam import collect_candidates
+
+    host_out = []
+    effective = []  # what both paths actually decode over (CLI feeds
+    # collect_candidates output to the device path as well)
+    for cands in videos:
+        frames = []
+        segments = [0]
+        for cs in cands:
+            frames.extend(cs)
+            segments.append(len(frames))
+        preds = np.array(frames)
+        host_out.append(
+            beam_search_segments([preds], segments, lm, beam_size=3,
+                                 threshold=0.0)
+        )
+        effective.append(collect_candidates([preds], segments, 0.0))
+
+    table, ids = dense_trigram_table(lm, n_labels)
+    cand, nseg = pack_candidates(effective, n_labels)
+    dev_out = device_beam_search(table, ids, cand, nseg, beam_size=3)
+    for h, d in zip(host_out, dev_out):
+        assert [int(x) for x in h] == d, (h, d)
