@@ -71,6 +71,10 @@ def main(argv=None):
         dataset, models, part=args.part, prob_pref=args.prob,
         quirk_argsort1=args.parity_quirks,
         bucket_multiple=args.bucket_multiple, batch_size=args.batch_size,
+        # the reference inference.py never calls net.eval() (dropout stays
+        # on at test time, inference.py:100); scene/lm drivers DO call it,
+        # so only this driver reproduces the quirk under --parity_quirks
+        dropout_at_test=args.parity_quirks,
     )
     if args.part == 'dev':
         return out

@@ -25,13 +25,18 @@ def run_ensemble(
     bucket_multiple: int = 128,
     batch_size: int = 8,
     verbose: bool = True,
+    dropout_at_test: bool = False,
 ):
     """Returns dev accuracy (float) for ``part='dev'`` or the flat list of
-    predicted segment labels for ``part='test'``."""
+    predicted segment labels for ``part='test'``.
+
+    ``dropout_at_test`` reproduces the reference ``inference.py``'s missing
+    ``net.eval()`` (dropout active during prediction, ``inference.py:100``)."""
     all_preds = {
         key: frame_predictions(
             mdef, params, dataset.features,
             bucket_multiple=bucket_multiple, batch_size=batch_size,
+            dropout_at_test=dropout_at_test,
         )
         for key, (mdef, params) in models.items()
     }

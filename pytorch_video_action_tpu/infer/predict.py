@@ -26,14 +26,26 @@ def frame_predictions(
     features: list[np.ndarray],
     bucket_multiple: int = 128,
     batch_size: int = 8,
+    dropout_at_test: bool = False,
+    seed: int = 0,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Per video: (predicted_class [T] i64, max_log_prob [T] f32).
 
     ``max_log_prob`` is the per-frame maximum over classes of the model
     output — the reference's ``_`` from ``torch.max(outputs.data, 1)``
     (``inference.py:123``), used for its normalized-confidence statistic.
+
+    ``dropout_at_test`` reproduces the reference ``inference.py`` quirk of
+    never calling ``net.eval()`` (``inference.py:100`` is commented out), so
+    dropout stays active during prediction — gated behind ``--parity_quirks``.
     """
-    fwd = jax.jit(lambda p, x, l: model.apply(p, x, l, train=False))
+    if dropout_at_test:
+        key = jax.random.PRNGKey(seed)
+        fwd = jax.jit(
+            lambda p, x, l, r: model.apply(p, x, l, train=True, rng=r)
+        )
+    else:
+        fwd = jax.jit(lambda p, x, l: model.apply(p, x, l, train=False))
 
     buckets: dict[int, list[int]] = defaultdict(list)
     for i, f in enumerate(features):
@@ -50,7 +62,11 @@ def frame_predictions(
                 f = np.asarray(features[vi], dtype=np.float32)
                 x[j, : len(f)] = f
                 lengths[j] = len(f)
-            out = fwd(params, jnp.asarray(x), jnp.asarray(lengths))
+            if dropout_at_test:
+                key, sub = jax.random.split(key)
+                out = fwd(params, jnp.asarray(x), jnp.asarray(lengths), sub)
+            else:
+                out = fwd(params, jnp.asarray(x), jnp.asarray(lengths))
             preds = np.asarray(jnp.argmax(out, axis=-1))
             maxp = np.asarray(jnp.max(out, axis=-1))
             for j, vi in enumerate(chunk):

@@ -179,3 +179,18 @@ def test_scene_key():
     from pytorch_video_action_tpu.infer.scene import scene_key
 
     assert scene_key("P16_cam01_P16_cereals.txt") == "P16_cereals.txt"
+
+
+def test_ensemble_parity_quirks_dropout_at_test(synthetic_root, trained_models,
+                                                tmp_path):
+    """--parity_quirks reproduces the reference inference.py quirk of never
+    calling net.eval(): dropout stays active, results remain valid."""
+    from pytorch_video_action_tpu.cli.inference_cli import main
+
+    argv = (
+        ["--pretrained_model", *trained_models["names"], "--prob", "big",
+         "--part", "dev", "--split", "0", "--parity_quirks"]
+        + _common_argv(synthetic_root, trained_models, str(tmp_path))
+    )
+    acc = main(argv)
+    assert 0.0 <= acc <= 100.0
