@@ -15,6 +15,7 @@ from ..models import build_model
 from ..train import checkpoint as ckpt
 from ..train.loop import Trainer, evaluate
 from ..utils.observability import MetricsLogger, StepTimer, profile_trace
+from ..utils.prefetch import prefetch_iter
 
 
 def parse_arguments(argv=None):
@@ -79,6 +80,10 @@ def parse_arguments(argv=None):
                         default=False, help='Use Pallas TPU kernels where available')
     parser.add_argument('--data_parallel', type=int, default=0,
                         help='Shard the batch over this many devices (0 = off)')
+    parser.add_argument('--seq_parallel', type=int, default=0,
+                        help='Shard the TIME axis over this many devices '
+                             '(ms_tcn only: halo-exchange dilated convs over '
+                             'ICI); combines with --data_parallel')
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--resume', default=None,
                         help='Resume bundle path (params+optimizer+epoch)')
@@ -97,6 +102,19 @@ def parse_arguments(argv=None):
 
 def main(argv=None):
     args = parse_arguments(argv)
+    # fail fast on invalid parallelism combos, before the (slow) data load
+    if args.seq_parallel > 1:
+        if args.model not in ('ms_tcn', 'mstcn'):
+            raise SystemExit(
+                '--seq_parallel requires --model ms_tcn (time-local ops); '
+                'use --data_parallel for the RNN/attention models, or the '
+                'parallel.ring library API for sequence-parallel attention'
+            )
+        if args.bucket_multiple % args.seq_parallel != 0:
+            raise SystemExit(
+                f'--bucket_multiple {args.bucket_multiple} must be divisible '
+                f'by --seq_parallel {args.seq_parallel}'
+            )
     os.makedirs("models", exist_ok=True)
 
     train_dataset = VideoDataset(
@@ -136,7 +154,14 @@ def main(argv=None):
     )
 
     sharding = None
-    if args.data_parallel > 1:
+    if args.seq_parallel > 1:
+        from ..parallel.sp import SeqDataParallel
+
+        sharding = SeqDataParallel(
+            data=max(args.data_parallel, 1), seq=args.seq_parallel
+        )
+        model = sharding.wrap_model(model)
+    elif args.data_parallel > 1:
         from ..parallel import DataParallel
 
         sharding = DataParallel(args.data_parallel)
@@ -177,6 +202,21 @@ def main(argv=None):
         print('Dev accuracy by segment: {:.3f}'.format(dev_acc))
         return
 
+    # graceful preemption: on SIGTERM/SIGINT finish the current step, save a
+    # resume bundle (params + optimizer + epoch) if --resume is set, and exit
+    # — the TPU-pod analog of the reference's nonexistent failure handling
+    # (SURVEY.md §5 failure-detection row)
+    stop_requested = {"flag": False}
+    if args.resume is not None:
+        import signal
+
+        def _request_stop(signum, frame):
+            print(f"[train] signal {signum}: saving resume bundle and exiting")
+            stop_requested["flag"] = True
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            signal.signal(sig, _request_stop)
+
     metrics = MetricsLogger(args.metrics_jsonl)
     previous_dev = 0.0
     first_epoch = ts.epoch
@@ -190,11 +230,17 @@ def main(argv=None):
         print('Starting Epoch #{}, {} iterations'.format(
             epoch + 1, len(train_feed)))
         with profile_trace(args.profile_dir if epoch == first_epoch else None):
-            for batch in train_feed:
+            for batch in prefetch_iter(train_feed):
                 loss = trainer.train_step(ts, batch)
                 timer.note(int(np.sum(batch[1])), loss)
                 running_loss += float(loss)
                 n_batches += 1
+                if stop_requested["flag"]:
+                    ckpt.save_resume(args.resume, ts.params, ts.opt_state, epoch)
+                    metrics.log("preempted", epoch=epoch, batches=n_batches)
+                    print(f"Saved resume bundle to {args.resume} "
+                          f"(epoch {epoch}, {n_batches} batches)")
+                    return previous_dev
         epoch_s = timer.elapsed()
         delta_time = (datetime.now() - start).seconds / 60.0
         print('[%d, %5d] Train loss: %.3f (%.3f mins)' % (

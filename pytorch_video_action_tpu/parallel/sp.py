@@ -145,3 +145,77 @@ def constrain_time_sharding(x: jax.Array, mesh: Mesh) -> jax.Array:
     GSPMD partitioner place the halo collectives (the 'let XLA do it' path,
     vs. the explicit shard_map above)."""
     return lax.with_sharding_constraint(x, NamedSharding(mesh, P("data", "seq", None)))
+
+
+class SeqDataParallel:
+    """Trainer sharding for DP x SP meshes (MS-TCN, SURVEY.md §2.6).
+
+    Batch axis shards over 'data', the time axis over 'seq'; the wrapped
+    model forward is the shard_map halo-exchange MS-TCN.  Use via
+    ``train.py --model ms_tcn --seq_parallel N [--data_parallel M]`` — the
+    CLI wraps the ModelDef with :meth:`wrap_model` and passes this object as
+    ``Trainer(sharding=...)``.
+    """
+
+    def __init__(self, data: int | None = None, seq: int = 2,
+                 mesh: Mesh | None = None):
+        from .mesh import make_mesh
+
+        self.mesh = mesh if mesh is not None else make_mesh(data=data, seq=seq)
+        self.n_data = self.mesh.shape["data"]
+        self.n_seq = self.mesh.shape["seq"]
+        self._batch = NamedSharding(self.mesh, P("data"))
+        self._batch_time = NamedSharding(self.mesh, P("data", "seq"))
+        self._replicated = NamedSharding(self.mesh, P())
+
+    def replicate(self, tree):
+        return jax.device_put(tree, self._replicated)
+
+    def wrap_model(self, model_def):
+        """ModelDef whose apply runs the sequence-parallel forward."""
+        from dataclasses import replace
+
+        cfg, mesh = model_def.config, self.mesh
+
+        def apply(params, x, lengths, *, train=False, rng=None):
+            return mstcn_forward_sp(
+                params, cfg, x, lengths, mesh, train=train, rng=rng
+            )
+
+        return replace(model_def, apply=apply)
+
+    def shard_batch(self, x, lengths, targets, *rest):
+        """Pad B to a 'data' multiple and T to a 'seq' multiple (fully masked
+        rows/frames: zero features, -1 targets), then place x with
+        ``P('data', 'seq')`` and per-sequence arrays with ``P('data')``."""
+        import numpy as np
+
+        from .. import TARGET_PAD
+
+        x = np.asarray(x)
+        b, t = x.shape[0], x.shape[1]
+        pad_b = (self.n_data - b % self.n_data) % self.n_data
+        pad_t = (self.n_seq - t % self.n_seq) % self.n_seq
+        tgt = np.asarray(targets).reshape(b, -1)
+        frame_level = tgt.shape[1] == t
+
+        if pad_t:
+            x = np.pad(x, ((0, 0), (0, pad_t), (0, 0)))
+            if frame_level:
+                tgt = np.pad(tgt, ((0, 0), (0, pad_t)),
+                             constant_values=TARGET_PAD)
+        if pad_b:
+            x = np.pad(x, ((0, pad_b), (0, 0), (0, 0)))
+            lengths = np.pad(np.asarray(lengths), (0, pad_b))
+            tgt = np.pad(tgt, ((0, pad_b), (0, 0)), constant_values=TARGET_PAD)
+        out = [
+            jax.device_put(x, self._batch_time),
+            jax.device_put(np.asarray(lengths), self._batch),
+            jax.device_put(tgt.reshape(-1), self._replicated),
+        ]
+        for a in rest:
+            a = np.asarray(a)
+            if pad_b:
+                a = np.pad(a, ((0, pad_b),) + ((0, 0),) * (a.ndim - 1))
+            out.append(jax.device_put(a, self._batch))
+        return tuple(out)

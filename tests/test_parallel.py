@@ -190,3 +190,35 @@ def test_attn_forward_sp_matches_serial(mode):
             np.testing.assert_allclose(sp[i, :l], serial[i, :l], atol=3e-5)
     else:
         np.testing.assert_allclose(sp, serial, atol=3e-5)
+
+
+def test_train_cli_seq_parallel(synthetic_root, tmp_path, monkeypatch):
+    """train.py --model ms_tcn --seq_parallel 2 --data_parallel 2 end-to-end
+    on the virtual 8-device mesh: trains, evaluates, checkpoints."""
+    from pytorch_video_action_tpu.cli.train_cli import main as train_main
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    acc = train_main([
+        "--model", "ms_tcn", "--epoch", "2", "--batchsize", "4",
+        "--seq_parallel", "2", "--data_parallel", "2",
+        "--data_dir", os.path.join(str(synthetic_root), "data"),
+        "--annot_path", str(synthetic_root),
+        "--bucket_multiple", "32",
+    ])
+    assert acc is not None and acc > 50.0
+    assert any(f.startswith("ms_tcn_") for f in os.listdir("models"))
+
+
+def test_train_cli_seq_parallel_rejects_rnn(synthetic_root, tmp_path,
+                                            monkeypatch):
+    from pytorch_video_action_tpu.cli.train_cli import main as train_main
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    with pytest.raises(SystemExit, match="seq_parallel requires"):
+        train_main([
+            "--model", "bigru", "--seq_parallel", "2",
+            "--data_dir", os.path.join(str(synthetic_root), "data"),
+            "--annot_path", str(synthetic_root),
+        ])
