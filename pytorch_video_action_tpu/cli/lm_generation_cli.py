@@ -15,8 +15,8 @@ import os
 
 from ..data.bundles import (
     load_class_mapping,
-    load_split_filenames,
     read_lines,
+    strip_bundle_prefix,
 )
 from ..utils.runlength import segment_label_sequence
 
@@ -36,7 +36,15 @@ def parse_arguments(argv=None):
 def main(argv=None):
     args = parse_arguments(argv)
     annot_path = args.annot_path
-    filenames = load_split_filenames(annot_path, 'train', 1)
+    # the FULL Kaggle training bundle (reference lm_generation.py:54), not a
+    # CV fold from new_splits — the LM corpus covers all training videos
+    kaggle_bundle = os.path.join(
+        annot_path, 'splits', 'splits', 'train.split1.bundle'
+    )
+    filenames = [
+        strip_bundle_prefix(line)
+        for line in read_lines(kaggle_bundle, offset_start=1)
+    ]
     mapping = load_class_mapping(annot_path)
     gt_dir = os.path.join(annot_path, 'groundTruth', 'groundTruth')
 
