@@ -91,6 +91,13 @@ def parse_arguments(argv=None):
                         choices=['float32', 'bfloat16'],
                         help='Compute dtype for the model body (master '
                              'params, softmax and loss stay float32)')
+    parser.add_argument('--cache_device', type=bool, nargs='?', const=True,
+                        default=False,
+                        help='Keep prepared batches resident in HBM across '
+                             'epochs (batch composition is frozen by the '
+                             'reference sampler; only the order reshuffles). '
+                             'Eliminates per-epoch host->device transfer; '
+                             'needs the dataset to fit in HBM')
     parser.add_argument('--metrics_jsonl', default=None,
                         help='Write structured per-epoch metrics (loss, dev '
                              'accuracies, frames/sec/chip) to this JSONL file')
@@ -220,6 +227,11 @@ def main(argv=None):
     metrics = MetricsLogger(args.metrics_jsonl)
     previous_dev = 0.0
     first_epoch = ts.epoch
+    device_batches = None
+    frames_per_batch: list = []
+    first_epoch_batches: list = []
+    first_epoch_frames: list = []
+    epoch_rng = np.random.default_rng(args.seed + 1)
     for epoch in range(ts.epoch, args.epoch):
         ts.epoch = epoch
         trainer.start_epoch(ts)
@@ -229,10 +241,21 @@ def main(argv=None):
         n_batches = 0
         print('Starting Epoch #{}, {} iterations'.format(
             epoch + 1, len(train_feed)))
+        if args.cache_device and device_batches is not None:
+            # device-resident epoch: reshuffle order only (the reference
+            # sampler semantics, data_utils.py:56-61) — zero H2D traffic
+            order = epoch_rng.permutation(len(device_batches))
+            batch_iter = ((device_batches[i], frames_per_batch[i]) for i in order)
+        else:
+            batch_iter = ((b, int(np.sum(b[1]))) for b in prefetch_iter(train_feed))
         with profile_trace(args.profile_dir if epoch == first_epoch else None):
-            for batch in prefetch_iter(train_feed):
+            for batch, frames in batch_iter:
+                if args.cache_device and device_batches is None:
+                    batch = trainer.prepare_batch(batch)
+                    first_epoch_batches.append(batch)
+                    first_epoch_frames.append(frames)
                 loss = trainer.train_step(ts, batch)
-                timer.note(int(np.sum(batch[1])), loss)
+                timer.note(frames, loss)
                 running_loss += float(loss)
                 n_batches += 1
                 if stop_requested["flag"]:
@@ -241,6 +264,9 @@ def main(argv=None):
                     print(f"Saved resume bundle to {args.resume} "
                           f"(epoch {epoch}, {n_batches} batches)")
                     return previous_dev
+        if args.cache_device and device_batches is None:
+            device_batches = first_epoch_batches
+            frames_per_batch = first_epoch_frames
         epoch_s = timer.elapsed()
         delta_time = (datetime.now() - start).seconds / 60.0
         print('[%d, %5d] Train loss: %.3f (%.3f mins)' % (

@@ -131,17 +131,40 @@ class Trainer:
 
         return step
 
-    def train_step(self, ts: TrainState, batch) -> float:
+    def prepare_batch(self, batch) -> tuple:
+        """Host batch -> device-resident step inputs.
+
+        Separated from :meth:`train_step` so callers can cache the prepared
+        (device) batches across epochs — the reference sampler freezes batch
+        COMPOSITION for the whole run (``data_utils.py:57-60``), so per-epoch
+        re-transfer is pure waste.  Under the bf16 policy the features are
+        converted on host first: half the host->device bytes (the e2e
+        bottleneck on interconnect-limited setups)."""
         x, lengths, targets, _ = batch
-        ts.rng, sub = jax.random.split(ts.rng)
         if self.is_ctc:
             ctc_t, ctc_tl = prepare_ctc_targets(targets, x.shape[0])
         else:
             ctc_t = ctc_tl = np.zeros((x.shape[0], 1), np.int32)
+        if self.compute_dtype is not None:
+            import ml_dtypes
+
+            x = np.asarray(x).astype(ml_dtypes.bfloat16)
         if self.sharding is not None:
-            x, lengths, targets, ctc_t, ctc_tl = self.sharding.shard_batch(
-                x, lengths, targets, ctc_t, ctc_tl
-            )
+            return self.sharding.shard_batch(x, lengths, targets, ctc_t, ctc_tl)
+        return (
+            jnp.asarray(x),
+            jnp.asarray(lengths),
+            jnp.asarray(targets),
+            jnp.asarray(ctc_t),
+            jnp.asarray(ctc_tl),
+        )
+
+    def train_step(self, ts: TrainState, batch) -> float:
+        if isinstance(batch, tuple) and len(batch) == 5:
+            x, lengths, targets, ctc_t, ctc_tl = batch  # already prepared
+        else:
+            x, lengths, targets, ctc_t, ctc_tl = self.prepare_batch(batch)
+        ts.rng, sub = jax.random.split(ts.rng)
         ts.params, ts.opt_state, ts.model_state, loss = self._step(
             ts.params,
             ts.opt_state,

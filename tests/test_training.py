@@ -270,3 +270,21 @@ def test_bf16_pallas_gru_scan_matches_f32():
     )
     for a in g:
         assert np.isfinite(np.asarray(a, np.float32)).all()
+
+
+def test_train_cli_cache_device(synthetic_root, tmp_path, monkeypatch):
+    """--cache_device keeps prepared batches resident across epochs; the run
+    still learns and checkpoints (order-only reshuffle is the reference
+    sampler semantics)."""
+    from pytorch_video_action_tpu.cli.train_cli import main as train_main
+
+    monkeypatch.chdir(tmp_path)
+    acc = train_main([
+        "--model", "simple_fc", "--epoch", "3", "--batchsize", "2",
+        "--cache_device", "--dtype", "bfloat16",
+        "--data_dir", os.path.join(str(synthetic_root), "data"),
+        "--annot_path", str(synthetic_root),
+        "--bucket_multiple", "32",
+    ])
+    assert acc is not None and acc > 50.0
+    assert any(f.startswith("simple_fc_") for f in os.listdir("models"))
