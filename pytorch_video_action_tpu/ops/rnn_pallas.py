@@ -92,7 +92,7 @@ def _gru_fwd_kernel(xg_ref, wh_ref, bh_ref, ys_ref, h_ref):
 def _gru_fwd(xg, wh, bh, *, interpret):
     t, b, gw = xg.shape
     w = wh.shape[0]
-    chunk = _pick_chunk(t, b, w, gw)
+    chunk = _pick_chunk(t, b, w, gw, streams=8)  # in 3W + out W, 2x buffered
     return pl.pallas_call(
         _gru_fwd_kernel,
         grid=(t // chunk,),
@@ -272,7 +272,7 @@ def _lstm_fwd_kernel(xg_ref, wh_ref, ys_ref, cs_ref, h_ref, c_ref):
 def _lstm_fwd(xg, wh, *, interpret):
     t, b, gw = xg.shape
     w = wh.shape[0]
-    chunk = _pick_chunk(t, b, w, gw, streams=24)
+    chunk = _pick_chunk(t, b, w, gw, streams=12)  # in 4W + out 2W, 2x buffered
     return pl.pallas_call(
         _lstm_fwd_kernel,
         grid=(t // chunk,),
