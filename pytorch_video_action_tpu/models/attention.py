@@ -39,6 +39,53 @@ def init_mha(rng, embed_dim: int) -> dict:
     }
 
 
+# above this sequence length the eval path switches to the blockwise
+# (FlashAttention-style) kernel: O(T * BLOCK) live memory instead of the
+# dense [B, H, T, T] score tensor (Breakfast videos reach 4k+ frames)
+BLOCKWISE_MIN_T = 1024
+BLOCKWISE_BLOCK = 512
+
+
+def blockwise_self_attention(q, k, v, key_mask):
+    """Online-softmax attention over KV chunks (single device; the ring
+    variant in ``parallel/ring.py`` is the multi-chip analog of this loop).
+
+    q pre-scaled ``[B, H, T, d]``; key_mask ``[B, T]`` bool.  Exact (not an
+    approximation); eval path only — training uses the dense form so
+    attention-matrix dropout and cheap reverse-mode stay available."""
+    b, h, t, d = q.shape
+    c = min(BLOCKWISE_BLOCK, t)
+    pad = (c - t % c) % c
+    if pad:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
+        key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
+    n = k.shape[2] // c
+    k_blocks = k.reshape(b, h, n, c, d).transpose(2, 0, 1, 3, 4)
+    v_blocks = v.reshape(b, h, n, c, d).transpose(2, 0, 1, 3, 4)
+    m_blocks = key_mask.reshape(b, n, c).transpose(1, 0, 2)
+
+    def fold(carry, blk):
+        m, l, acc = carry
+        k_c, v_c, mask_c = blk
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_c)
+        s = jnp.where(mask_c[:, None, None, :], s, -1e30)
+        m_new = jnp.maximum(m, s.max(axis=-1))
+        alpha = jnp.exp(m - m_new)
+        p_ = jnp.exp(s - m_new[..., None])
+        l = l * alpha + p_.sum(axis=-1)
+        acc = acc * alpha[..., None] + jnp.einsum("bhqk,bhkd->bhqd", p_, v_c)
+        return (m_new, l, acc), None
+
+    init = (
+        jnp.full((b, h, t), -1e30, q.dtype),
+        jnp.zeros((b, h, t), q.dtype),
+        jnp.zeros((b, h, t, d), q.dtype),
+    )
+    (m, l, acc), _ = jax.lax.scan(fold, init, (k_blocks, v_blocks, m_blocks))
+    return acc / jnp.maximum(l[..., None], 1e-30)
+
+
 def mha_self_attention(
     p: dict,
     x: jax.Array,
@@ -49,7 +96,8 @@ def mha_self_attention(
     train: bool = False,
     rng=None,
 ):
-    """Self-attention over ``x [B, T, E]`` with optional key padding mask."""
+    """Self-attention over ``x [B, T, E]`` with optional key padding mask.
+    Long sequences at eval use the blockwise form (memory O(T*BLOCK))."""
     b, t, e = x.shape
     hd = e // num_heads
     qkv = x @ p["in_proj_w"] + p["in_proj_b"]
@@ -59,12 +107,19 @@ def mha_self_attention(
         return z.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q) / jnp.sqrt(hd).astype(x.dtype), heads(k), heads(v)
-    scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
-    if key_mask is not None:
-        scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
-    attn = jax.nn.softmax(scores, axis=-1)
-    attn = dropout(rng, attn, dropout_rate, train)
-    out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
+    if not train and t >= BLOCKWISE_MIN_T:
+        mask = (
+            key_mask if key_mask is not None
+            else jnp.ones((b, t), dtype=bool)
+        )
+        out = blockwise_self_attention(q, k, v, mask)
+    else:
+        scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
+        if key_mask is not None:
+            scores = jnp.where(key_mask[:, None, None, :], scores, -1e30)
+        attn = jax.nn.softmax(scores, axis=-1)
+        attn = dropout(rng, attn, dropout_rate, train)
+        out = jnp.einsum("bhqk,bhkd->bhqd", attn, v)
     out = out.transpose(0, 2, 1, 3).reshape(b, t, e)
     return out @ p["out_proj_w"] + p["out_proj_b"]
 

@@ -178,3 +178,32 @@ def test_nll_loss_parity():
     crit = torch.nn.NLLLoss(ignore_index=-1)
     ref = float(crit(torch.tensor(np.asarray(logp)), torch.tensor(targets)))
     assert abs(ours - ref) < 1e-5
+
+
+def test_blockwise_attention_matches_dense():
+    """Long-sequence eval path (online-softmax KV chunks) == dense MHA."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_video_action_tpu.models import attention as A
+
+    e, heads, b, t = 16, 4, 2, 1536  # t >= BLOCKWISE_MIN_T triggers blockwise
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(b, t, e)).astype(np.float32))
+    lengths = np.array([1536, 700], np.int32)
+    mask = jnp.asarray(np.arange(t)[None, :] < lengths[:, None])
+    p = A.init_mha(jax.random.PRNGKey(0), e)
+
+    blockwise = np.asarray(
+        A.mha_self_attention(p, x, heads, key_mask=mask)  # t>=min -> blockwise
+    )
+    # force the dense path by lowering the threshold temporarily
+    orig = A.BLOCKWISE_MIN_T
+    A.BLOCKWISE_MIN_T = 10**9
+    try:
+        dense = np.asarray(A.mha_self_attention(p, x, heads, key_mask=mask))
+    finally:
+        A.BLOCKWISE_MIN_T = orig
+    for i, l in enumerate(lengths):
+        np.testing.assert_allclose(blockwise[i, :l], dense[i, :l],
+                                   atol=3e-5, rtol=1e-4)
