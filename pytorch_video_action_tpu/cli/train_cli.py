@@ -183,11 +183,15 @@ def main(argv=None):
 
     if args.pretrained_model is not None:
         model_path = os.path.join('models', f'{args.pretrained_model}.npz')
-        ts.params = ckpt.load_params(model_path)
+        ts.params, loaded_state = ckpt.load_params(model_path, with_state=True)
+        if loaded_state is not None:
+            ts.model_state = loaded_state
         print(f'Loaded pretrained model: {model_path}')
     if args.resume is not None and os.path.exists(args.resume):
         bundle = ckpt.load_resume(args.resume)
         ts.params, ts.opt_state = bundle['params'], bundle['opt_state']
+        if bundle.get('model_state') is not None:
+            ts.model_state = bundle['model_state']
         ts.epoch = bundle['epoch']
         print(f"Resumed from {args.resume} at epoch {ts.epoch}")
 
@@ -201,7 +205,8 @@ def main(argv=None):
             from ..infer.beam import eval_beam_search
 
             dev_acc, frame_acc = eval_beam_search(
-                model, ts.params, dev_feed, args.lm_path, args.beam_size
+                model, ts.params, dev_feed, args.lm_path, args.beam_size,
+                model_state=ts.model_state,
             )
         else:
             dev_acc, frame_acc = evaluate(model, ts.params, dev_feed, ts.model_state)
@@ -259,7 +264,8 @@ def main(argv=None):
                 running_loss += float(loss)
                 n_batches += 1
                 if stop_requested["flag"]:
-                    ckpt.save_resume(args.resume, ts.params, ts.opt_state, epoch)
+                    ckpt.save_resume(args.resume, ts.params, ts.opt_state, epoch,
+                                     model_state=ts.model_state)
                     metrics.log("preempted", epoch=epoch, batches=n_batches)
                     print(f"Saved resume bundle to {args.resume} "
                           f"(epoch {epoch}, {n_batches} batches)")
@@ -284,12 +290,13 @@ def main(argv=None):
             print('{} ==> {}'.format(dev_acc, previous_dev))
             model_path = 'models/{}.npz'.format(
                 ckpt.checkpoint_name(args.model, dev_acc))
-            ckpt.save_params(model_path, ts.params)
+            ckpt.save_params(model_path, ts.params, ts.model_state)
             metrics.log("checkpoint", path=model_path,
                         dev_segment_acc=round(dev_acc, 4))
             previous_dev = dev_acc
         if args.resume is not None:
-            ckpt.save_resume(args.resume, ts.params, ts.opt_state, epoch + 1)
+            ckpt.save_resume(args.resume, ts.params, ts.opt_state, epoch + 1,
+                             model_state=ts.model_state)
 
     print('Finished Training, Dev Accuracy: ', previous_dev)
     return previous_dev

@@ -87,7 +87,8 @@ def run_beam_inference(
     ``device_beam=True`` runs the whole beam search as one batched TPU
     program (``lm/device_beam.py``) — identical results, no per-prefix host
     LM rescoring loop."""
-    lm_model = load_lm(lm_path)
+    # device path densifies the ARPA itself; don't also load a host scorer
+    lm_model = None if device_beam else load_lm(lm_path)
     all_preds = {
         key: frame_predictions(
             mdef, params, dataset.features,
@@ -166,6 +167,7 @@ def eval_beam_search(
     lm_path: str,
     beam_size: int = 5,
     threshold: float = 0.15,
+    model_state=None,
 ) -> tuple[float, float]:
     """Reference ``train.py:85-141``: dev beam-search evaluation for a single
     model.  Returns (segment_accuracy, frame_accuracy)."""
@@ -174,7 +176,8 @@ def eval_beam_search(
     lm_model = load_lm(lm_path)
     correct_segment = total_segment = 0
     correct_frame = total_frame = 0
-    for pred, labels in predict_batches(model_def, params, dev_feed):
+    for pred, labels in predict_batches(model_def, params, dev_feed,
+                                        model_state):
         valid = labels != -1
         pred, labels = pred[valid], labels[valid]
         if labels.size == 0:

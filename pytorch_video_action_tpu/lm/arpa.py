@@ -61,16 +61,15 @@ class ArpaLanguageModel:
     def _word_logprob(self, context: tuple[str, ...], word: str) -> float:
         if word not in self.vocab:
             word = "<unk>"
-        while True:
-            ngram = context + (word,)
-            if ngram in self.probs:
-                return self.probs[ngram]
-            if not context:
-                return self.probs.get(("<unk>",), -99.0)
-            # back off: charge the context's backoff weight, shorten context
-            bo = self.backoffs.get(context, 0.0)
-            shorter = self._word_logprob(context[1:], word)
-            return bo + shorter
+        ngram = context + (word,)
+        if ngram in self.probs:
+            return self.probs[ngram]
+        if not context:
+            return self.probs.get(("<unk>",), -99.0)
+        # back off: charge the context's backoff weight, shorten context
+        return self.backoffs.get(context, 0.0) + self._word_logprob(
+            context[1:], word
+        )
 
     def score(self, sentence: str, bos: bool = True, eos: bool = True) -> float:
         """kenlm.LanguageModel.score: total log10 probability of the sentence
@@ -116,9 +115,3 @@ def load_lm(path: str):
 
 __all__ = ["ArpaLanguageModel", "LanguageModel", "load_lm"]
 
-
-def _logsumexp10(xs):
-    m = max(xs)
-    if math.isinf(m):
-        return m
-    return m + math.log10(sum(10 ** (x - m) for x in xs))

@@ -59,17 +59,18 @@ def dense_trigram_table(lm, n_labels: int):
     words = [str(i) for i in range(n_labels)] + [BOS, EOS, UNK]
     ids = {w: i for i, w in enumerate(words)}
     v = len(words)
+    # the host scorer maps OOV CONTEXT words to <unk> before they enter the
+    # context window (arpa.py score(): ``mapped = w if w in vocab else unk``)
+    # — the table rows must be built from the same mapped contexts or
+    # device/host beams diverge on labels absent from the LM corpus
+    ctx_word = lambda w: w if w in lm.vocab else UNK  # noqa: E731
     table = np.empty((v, v, v), np.float32)
     for i2, c2 in enumerate(words):
         for i1, c1 in enumerate(words):
-            ctx = (c2, c1)
+            ctx = (ctx_word(c2), ctx_word(c1))
             for iw, w in enumerate(words):
                 table[i2, i1, iw] = lm._word_logprob(ctx, w)
     return table, ids
-
-
-def _host_context(ctx_word: str, ids: dict) -> int:
-    return ids.get(ctx_word, ids[UNK])
 
 
 def device_beam_search(

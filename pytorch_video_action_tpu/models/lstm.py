@@ -130,11 +130,20 @@ def init_bilstm_lm(rng, cfg: BiLSTMWithLMConfig) -> tuple[dict, dict]:
     return params, state
 
 
-def _batch_norm(p, s, x, train: bool, momentum=0.1, eps=1e-5):
+def _batch_norm(p, s, x, train: bool, momentum=0.1, eps=1e-5, valid=None):
+    """BatchNorm1d over flattened rows.  ``valid [N, 1]`` excludes padded
+    frames from the batch statistics — the reference trains on exact-length
+    batches (no padding), so masked stats ARE the parity behavior under
+    bucket-rounded padding."""
     if train:
-        mean = jnp.mean(x, axis=0)
-        var = jnp.var(x, axis=0)
-        n = x.shape[0]
+        if valid is None:
+            mean = jnp.mean(x, axis=0)
+            var = jnp.var(x, axis=0)
+            n = x.shape[0]
+        else:
+            n = jnp.maximum(jnp.sum(valid), 1.0)
+            mean = jnp.sum(x * valid, axis=0) / n
+            var = jnp.sum(((x - mean) ** 2) * valid, axis=0) / n
         unbiased = var * n / jnp.maximum(n - 1, 1)
         new_s = {
             "mean": (1 - momentum) * s["mean"] + momentum * mean,
@@ -167,13 +176,14 @@ def apply_bilstm_lm(
         params["rnn"], xd, lengths, cfg.hidden_dim_1 // 2,
         bidirectional=True, dropout_rate=cfg.dropout_rate, train=train, rng=r_rnn,
     )
-    flat = out.reshape(-1, cfg.hidden_dim_1)
-    flat, s1 = _batch_norm(params["bn1"], state["bn1"], flat, train)
-    hidden = jnp.tanh(linear(params["linear"], flat))
-    hidden, s2 = _batch_norm(params["bn2"], state["bn2"], hidden, train)
-    hidden = hidden.reshape(b, t, cfg.hidden_dim_2)
-
     mask = length_mask(lengths, t)
+    valid = mask.reshape(-1, 1).astype(x.dtype)
+    flat = out.reshape(-1, cfg.hidden_dim_1)
+    flat, s1 = _batch_norm(params["bn1"], state["bn1"], flat, train, valid=valid)
+    hidden = jnp.tanh(linear(params["linear"], flat))
+    hidden, s2 = _batch_norm(params["bn2"], state["bn2"], hidden, train,
+                             valid=valid)
+    hidden = hidden.reshape(b, t, cfg.hidden_dim_2)
     ctx_dim = cfg.context * cfg.n_class
     w, bias = params["output"]["w"], params["output"]["b"]
     w_ctx, w_hid = w[:ctx_dim], w[ctx_dim:]

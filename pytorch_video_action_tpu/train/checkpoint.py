@@ -62,19 +62,44 @@ def checkpoint_name(model: str, dev_acc: float) -> str:
     return f"{model}_{dev_acc:.2f}_dev"
 
 
-def save_params(path: str, params) -> None:
+_STATE_PREFIX = "__state__/"
+
+
+def save_params(path: str, params, model_state=None) -> None:
+    """Params (+ optional non-trainable model state, e.g. bilstm_lm's
+    BatchNorm running stats — the reference's ``state_dict()`` includes
+    running_mean/var, so ours must round-trip them too)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    np.savez(path, **_flatten(jax.device_get(params)))
+    flat = _flatten(jax.device_get(params))
+    if model_state is not None:
+        flat.update({
+            _STATE_PREFIX + k: v
+            for k, v in _flatten(jax.device_get(model_state)).items()
+        })
+    np.savez(path, **flat)
 
 
-def load_params(path: str):
+def load_params(path: str, with_state: bool = False):
+    """Returns params, or ``(params, model_state_or_None)`` when
+    ``with_state`` (for stateful models)."""
     if not os.path.exists(path) and os.path.exists(path + ".npz"):
         path = path + ".npz"
     with np.load(path, allow_pickle=False) as z:
-        return _unflatten({k: z[k] for k in z.files})
+        flat = {k: z[k] for k in z.files}
+    state_flat = {
+        k[len(_STATE_PREFIX):]: v
+        for k, v in flat.items() if k.startswith(_STATE_PREFIX)
+    }
+    params = _unflatten(
+        {k: v for k, v in flat.items() if not k.startswith(_STATE_PREFIX)}
+    )
+    if with_state:
+        return params, (_unflatten(state_flat) if state_flat else None)
+    return params
 
 
-def save_resume(path: str, params, opt_state, epoch: int, extra: dict | None = None):
+def save_resume(path: str, params, opt_state, epoch: int,
+                extra: dict | None = None, model_state=None):
     """Full resumable bundle (params + optimizer state + progress) — a
     capability the reference lacks (its Adam restarts on resume)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
@@ -83,6 +108,9 @@ def save_resume(path: str, params, opt_state, epoch: int, extra: dict | None = N
         "opt_state": jax.device_get(opt_state),
         "epoch": epoch,
         "extra": extra or {},
+        "model_state": (
+            jax.device_get(model_state) if model_state is not None else None
+        ),
     }
     buf = io.BytesIO()
     pickle.dump(payload, buf)

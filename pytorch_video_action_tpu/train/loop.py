@@ -196,17 +196,14 @@ def _forward_eval(model: ModelDef, params, model_state, x, lengths):
     return out
 
 
-_eval_forward_cache: dict = {}
-
-
 def predict_batches(model: ModelDef, params, feed, model_state=None):
     """Yield per-video (pred_frames, label_frames) pairs over a BatchFeed."""
-    key = id(model)
-    if key not in _eval_forward_cache:
-        _eval_forward_cache[key] = jax.jit(
-            lambda p, x, l: model.apply(p, x, l, train=False)
-        ) if not model.stateful else None
-    fwd = _eval_forward_cache[key]
+    # the jitted eval forward lives ON the ModelDef (an id()-keyed dict would
+    # hand a recycled id the previous model's compiled apply)
+    fwd = getattr(model, "_eval_fwd", None)
+    if fwd is None and not model.stateful:
+        fwd = jax.jit(lambda p, x, l: model.apply(p, x, l, train=False))
+        model._eval_fwd = fwd
     for x, lengths, targets, mask in feed:
         b, t = x.shape[0], x.shape[1]
         if fwd is not None:

@@ -155,3 +155,36 @@ def test_device_beam_matches_host_beam(arpa_path):
     dev_out = device_beam_search(table, ids, cand, nseg, beam_size=3)
     for h, d in zip(host_out, dev_out):
         assert [int(x) for x in h] == d, (h, d)
+
+
+def test_device_beam_oov_label_matches_host(arpa_path):
+    """Labels absent from the LM corpus (OOV) must decode identically on
+    device and host (host maps OOV context words to <unk>)."""
+    from pytorch_video_action_tpu.infer.beam import (
+        beam_search_segments, collect_candidates,
+    )
+    from pytorch_video_action_tpu.lm.device_beam import (
+        dense_trigram_table, device_beam_search, pack_candidates,
+    )
+
+    lm = ArpaLanguageModel(arpa_path)
+    n_labels = 10  # labels 5..9 are OOV for the corpus (vocab is 1..4)
+    videos = [
+        [[7], [1, 9], [2, 3], [8, 9]],
+        [[5, 6, 7], [1, 2], [9]],
+    ]
+    host_out, effective = [], []
+    for cands in videos:
+        frames, segments = [], [0]
+        for cs in cands:
+            frames.extend(cs)
+            segments.append(len(frames))
+        preds = np.array(frames)
+        host_out.append(beam_search_segments([preds], segments, lm,
+                                             beam_size=3, threshold=0.0))
+        effective.append(collect_candidates([preds], segments, 0.0))
+    table, ids = dense_trigram_table(lm, n_labels)
+    dev_out = device_beam_search(table, ids, pack_candidates(effective, n_labels)[0],
+                                 pack_candidates(effective, n_labels)[1], 3)
+    for h, d in zip(host_out, dev_out):
+        assert [int(x) for x in h] == d, (h, d)

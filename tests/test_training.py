@@ -288,3 +288,49 @@ def test_train_cli_cache_device(synthetic_root, tmp_path, monkeypatch):
     ])
     assert acc is not None and acc > 50.0
     assert any(f.startswith("simple_fc_") for f in os.listdir("models"))
+
+
+def test_bilstm_lm_state_roundtrip(synthetic_root, tmp_path):
+    """BatchNorm running stats persist through checkpoints and resume bundles
+    (the reference's state_dict() includes running_mean/var)."""
+    import jax.numpy as jnp
+
+    from pytorch_video_action_tpu.train import checkpoint as ckpt
+
+    train_ds, dev_ds = _datasets(synthetic_root)
+    n_class = train_ds.n_class
+    model = build_model("bilstm_lm", n_class, lstm_layer=1, lstm_hidden1=32,
+                        lstm_hidden2=16, lstm_dropout=0.0)
+    trainer = Trainer(model, n_class, lr=1e-3, seed=0)
+    ts = trainer.init_state()
+    feed = BatchFeed(train_ds, batch_size=2, bucket_multiple=32)
+    for b in feed:
+        trainer.train_step(ts, b)
+    # running stats must have moved off the init values
+    assert not np.allclose(np.asarray(ts.model_state["bn1"]["mean"]), 0.0)
+
+    path = str(tmp_path / "bilstm_lm_1.00_dev.npz")
+    ckpt.save_params(path, ts.params, ts.model_state)
+    params2, state2 = ckpt.load_params(path, with_state=True)
+    assert state2 is not None
+    np.testing.assert_allclose(
+        np.asarray(state2["bn1"]["mean"]),
+        np.asarray(ts.model_state["bn1"]["mean"]), atol=1e-7,
+    )
+    # eval with restored state == eval with live state
+    a1 = evaluate(model, ts.params, BatchFeed(dev_ds, batch_size=2,
+                                              bucket_multiple=32),
+                  ts.model_state)
+    a2 = evaluate(model, params2, BatchFeed(dev_ds, batch_size=2,
+                                            bucket_multiple=32), state2)
+    assert a1 == a2
+    # stateless checkpoints still load as plain params
+    p3 = ckpt.load_params(path)
+    assert "rnn" in p3 and "__state__" not in str(list(p3.keys()))
+
+    # resume bundle carries the state too
+    rpath = str(tmp_path / "r.pkl")
+    ckpt.save_resume(rpath, ts.params, ts.opt_state, 2,
+                     model_state=ts.model_state)
+    bundle = ckpt.load_resume(rpath)
+    assert bundle["model_state"] is not None
