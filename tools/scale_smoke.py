@@ -53,6 +53,10 @@ def main(argv=None):
     ap.add_argument("--t_max", type=int, default=2500)
     ap.add_argument("--n_class", type=int, default=48)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--write_gz", action="store_true",
+                    help="Also write real gzipped text feature files "
+                         "(slower; enables training on data_splitting CV "
+                         "folds, which bypass the injected pickle caches)")
     args = ap.parse_args(argv)
 
     root = args.root
@@ -80,6 +84,12 @@ def main(argv=None):
             with open(os.path.join(root, "groundTruth/groundTruth",
                                    f"{name}.txt"), "w") as f:
                 f.write("\n".join(names[l] for l in labels) + "\n")
+            if args.write_gz:
+                import gzip
+
+                with gzip.open(os.path.join(root, "data", f"{name}.gz"),
+                               "wt") as f:
+                    np.savetxt(f, feats, fmt="%.6f")
             out.append((name, feats, labels))
         return out
 
