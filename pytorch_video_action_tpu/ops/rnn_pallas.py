@@ -23,6 +23,7 @@ the actual constraint.
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -108,6 +109,146 @@ def _gru_fwd(xg, wh, bh, *, interpret):
         scratch_shapes=[pltpu.VMEM((b, w), jnp.float32)],
         interpret=interpret,
     )(xg, wh, bh.reshape(1, gw))
+
+
+# ------------------------------------------------- forward with saved gates
+# Training variant: also emits the per-step gate values (r, z, n) and the
+# hidden n-gate pre-mix hg_n, so the backward pass needs NO transcendental
+# recompute — the backward's cost was dominated by re-running
+# sigmoid/sigmoid/tanh over the whole gate volume (docs/PERF_NOTES.md), and
+# the saved residuals are cheap HBM traffic by comparison (~4W per step).
+
+
+def _gru_fwd_save_kernel(xg_ref, wh_ref, bh_ref, ys_ref, res_ref, h_ref):
+    w = wh_ref.shape[0]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+
+    def body(t, _):
+        g_x = xg_ref[t]
+        h = h_ref[:]
+        hg = jnp.dot(
+            h.astype(wh_ref.dtype), wh_ref[:],
+            preferred_element_type=jnp.float32,
+        ) + bh_ref[0]
+        r = _sigmoid(g_x[:, :w] + hg[:, :w])
+        z = _sigmoid(g_x[:, w : 2 * w] + hg[:, w : 2 * w])
+        hg_n = hg[:, 2 * w :]
+        n = jnp.tanh(g_x[:, 2 * w :] + r * hg_n)
+        hn = (1.0 - z) * n + z * h
+        h_ref[:] = hn
+        ys_ref[t] = hn.astype(ys_ref.dtype)
+        res_ref[t] = jnp.concatenate([r, z, n, hg_n], axis=-1).astype(
+            res_ref.dtype
+        )
+        return 0
+
+    jax.lax.fori_loop(0, xg_ref.shape[0], body, 0, unroll=True)
+
+
+def _gru_fwd_save(xg, wh, bh, *, interpret):
+    t, b, gw = xg.shape
+    w = wh.shape[0]
+    chunk = _pick_chunk(t, b, w, gw, streams=16)  # in 3W + out (W + 4W)
+    return pl.pallas_call(
+        _gru_fwd_save_kernel,
+        grid=(t // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, b, gw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, gw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, b, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, 4 * w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, w), xg.dtype),
+            jax.ShapeDtypeStruct((t, b, 4 * w), xg.dtype),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, w), jnp.float32)],
+        interpret=interpret,
+    )(xg, wh, bh.reshape(1, gw))
+
+
+def _gru_bwd_saved_kernel(
+    res_ref, hp_ref, dy_ref, wh_ref,
+    dxg_ref, dwh_ref, dbh_ref, dh_ref,
+):
+    """Backward from saved gates: pure polynomial elementwise + two MXU dots
+    per step — no sigmoid/tanh recompute."""
+    w = wh_ref.shape[0]
+    i = pl.program_id(0)
+    t_chunk = res_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+        dbh_ref[:] = jnp.zeros_like(dbh_ref)
+
+    def body(j, _):
+        t = t_chunk - 1 - j
+        res = res_ref[t]
+        r = res[:, :w]
+        z = res[:, w : 2 * w]
+        n = res[:, 2 * w : 3 * w]
+        hg_n = res[:, 3 * w :]
+        hp = hp_ref[t]
+        dh = dy_ref[t] + dh_ref[:]
+        dz = dh * (hp - n)
+        dpre_n = dh * (1.0 - z) * (1.0 - n * n)
+        dpre_r = dpre_n * hg_n * r * (1.0 - r)
+        dpre_z = dz * z * (1.0 - z)
+        dxg_ref[t] = jnp.concatenate([dpre_r, dpre_z, dpre_n], axis=-1).astype(
+            dxg_ref.dtype
+        )
+        dhg = jnp.concatenate([dpre_r, dpre_z, dpre_n * r], axis=-1)
+        dhg_c = dhg.astype(wh_ref.dtype)
+        dh_ref[:] = dh * z + jnp.dot(
+            dhg_c, wh_ref[:].T, preferred_element_type=jnp.float32
+        )
+        dwh_ref[:] += jnp.dot(
+            hp.T.astype(wh_ref.dtype), dhg_c, preferred_element_type=jnp.float32
+        )
+        dbh_ref[:] += jnp.sum(dhg, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, t_chunk, body, 0, unroll=True)
+
+
+def _gru_bwd_saved_call(res, hp, dy, wh, *, interpret):
+    t, b, rw = res.shape
+    w = wh.shape[0]
+    gw = 3 * w
+    chunk = _pick_chunk(t, b, w, gw, streams=18)  # in 4W+W+W, out 3W
+    nc = t // chunk
+    rev = lambda i: (nc - 1 - i, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        _gru_bwd_saved_kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((chunk, b, 4 * w), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, gw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, b, gw), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, gw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, gw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, gw), res.dtype),
+            jax.ShapeDtypeStruct((w, gw), jnp.float32),
+            jax.ShapeDtypeStruct((1, gw), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((b, w), jnp.float32)],
+        interpret=interpret,
+    )(res, hp, dy, wh)
 
 
 # ----------------------------------------------------------------- backward
@@ -203,16 +344,30 @@ def gru_scan_pallas(xg, wh, bh, interpret=False):
     return _gru_fwd(xg, wh, bh, interpret=interpret)
 
 
+# PVA_RNN_RECOMPUTE=1 restores the recompute backward (no saved gates) —
+# trades ~4x less residual HBM for re-running the gate transcendentals,
+# which measurement showed dominate the backward (docs/PERF_NOTES.md)
+_RECOMPUTE_BWD = _os.environ.get("PVA_RNN_RECOMPUTE") == "1"
+
+
 def _vjp_fwd(xg, wh, bh, interpret):
-    ys = _gru_fwd(xg, wh, bh, interpret=interpret)
-    return ys, (xg, wh, bh, ys)
+    if _RECOMPUTE_BWD:
+        ys = _gru_fwd(xg, wh, bh, interpret=interpret)
+        return ys, (xg, wh, bh, ys, None)
+    ys, gates = _gru_fwd_save(xg, wh, bh, interpret=interpret)
+    return ys, (None, wh, bh, ys, gates)
 
 
 def _vjp_bwd(interpret, res, dy):
-    xg, wh, bh, ys = res
+    xg, wh, bh, ys, gates = res
     # h_prev sequence: ys shifted one step (h_{-1} = 0)
     hp = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
-    dxg, dwh, dbh = _gru_bwd_call(xg, hp, dy, wh, bh, interpret=interpret)
+    if gates is None:
+        dxg, dwh, dbh = _gru_bwd_call(xg, hp, dy, wh, bh, interpret=interpret)
+    else:
+        dxg, dwh, dbh = _gru_bwd_saved_call(
+            gates, hp, dy, wh, interpret=interpret
+        )
     return dxg, dwh.astype(wh.dtype), dbh.reshape(-1).astype(bh.dtype)
 
 
