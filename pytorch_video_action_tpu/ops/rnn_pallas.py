@@ -451,6 +451,154 @@ def _lstm_fwd(xg, wh, *, interpret):
     )(xg, wh)
 
 
+def _lstm_fwd_save_kernel(xg_ref, wh_ref, ys_ref, cs_ref, res_ref, h_ref, c_ref):
+    """Training forward: also emits (ii, f, g, o, tanh_c) so the backward
+    needs no gate/tanh recompute (same strategy as the GRU saved-gates
+    kernel above)."""
+    w = wh_ref.shape[0]
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        h_ref[:] = jnp.zeros_like(h_ref)
+        c_ref[:] = jnp.zeros_like(c_ref)
+
+    def body(t, _):
+        g_x = xg_ref[t]
+        h = h_ref[:]
+        gates = g_x + jnp.dot(
+            h.astype(wh_ref.dtype), wh_ref[:],
+            preferred_element_type=jnp.float32,
+        )
+        ii = _sigmoid(gates[:, :w])
+        f = _sigmoid(gates[:, w : 2 * w])
+        g = jnp.tanh(gates[:, 2 * w : 3 * w])
+        o = _sigmoid(gates[:, 3 * w :])
+        c = f * c_ref[:] + ii * g
+        tanh_c = jnp.tanh(c)
+        hn = o * tanh_c
+        h_ref[:] = hn
+        c_ref[:] = c
+        ys_ref[t] = hn.astype(ys_ref.dtype)
+        cs_ref[t] = c.astype(cs_ref.dtype)
+        res_ref[t] = jnp.concatenate([ii, f, g, o, tanh_c], axis=-1).astype(
+            res_ref.dtype
+        )
+        return 0
+
+    jax.lax.fori_loop(0, xg_ref.shape[0], body, 0, unroll=True)
+
+
+def _lstm_fwd_save(xg, wh, *, interpret):
+    t, b, gw = xg.shape
+    w = wh.shape[0]
+    chunk = _pick_chunk(t, b, w, gw, streams=22)  # in 4W + out W+W+5W
+    return pl.pallas_call(
+        _lstm_fwd_save_kernel,
+        grid=(t // chunk,),
+        in_specs=[
+            pl.BlockSpec((chunk, b, gw), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, gw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, b, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, 5 * w), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, w), xg.dtype),
+            jax.ShapeDtypeStruct((t, b, w), xg.dtype),
+            jax.ShapeDtypeStruct((t, b, 5 * w), xg.dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, w), jnp.float32),
+            pltpu.VMEM((b, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(xg, wh)
+
+
+def _lstm_bwd_saved_kernel(
+    res_ref, hp_ref, cp_ref, dy_ref, wh_ref,
+    dxg_ref, dwh_ref, dh_ref, dc_ref,
+):
+    w = wh_ref.shape[0]
+    i = pl.program_id(0)
+    t_chunk = res_ref.shape[0]
+
+    @pl.when(i == 0)
+    def _():
+        dh_ref[:] = jnp.zeros_like(dh_ref)
+        dc_ref[:] = jnp.zeros_like(dc_ref)
+        dwh_ref[:] = jnp.zeros_like(dwh_ref)
+
+    def body(j, _):
+        t = t_chunk - 1 - j
+        res = res_ref[t]
+        ii = res[:, :w]
+        f = res[:, w : 2 * w]
+        g = res[:, 2 * w : 3 * w]
+        o = res[:, 3 * w : 4 * w]
+        tanh_c = res[:, 4 * w :]
+        cp = cp_ref[t]
+        hp = hp_ref[t]
+
+        dh = dy_ref[t] + dh_ref[:]
+        do = dh * tanh_c
+        dc = dh * o * (1.0 - tanh_c * tanh_c) + dc_ref[:]
+        dpre_i = dc * g * ii * (1.0 - ii)
+        dpre_f = dc * cp * f * (1.0 - f)
+        dpre_g = dc * ii * (1.0 - g * g)
+        dpre_o = do * o * (1.0 - o)
+        dgates = jnp.concatenate([dpre_i, dpre_f, dpre_g, dpre_o], axis=-1)
+        dgates_c = dgates.astype(wh_ref.dtype)
+        dxg_ref[t] = dgates.astype(dxg_ref.dtype)
+        dh_ref[:] = jnp.dot(
+            dgates_c, wh_ref[:].T, preferred_element_type=jnp.float32
+        )
+        dc_ref[:] = dc * f
+        dwh_ref[:] += jnp.dot(
+            hp.T.astype(wh_ref.dtype), dgates_c,
+            preferred_element_type=jnp.float32,
+        )
+        return 0
+
+    jax.lax.fori_loop(0, t_chunk, body, 0, unroll=True)
+
+
+def _lstm_bwd_saved_call(res, hp, cp, dy, wh, *, interpret):
+    t, b, rw = res.shape
+    w = wh.shape[0]
+    gw = 4 * w
+    chunk = _pick_chunk(t, b, w, gw, streams=24)  # in 5W+W+W+W, out 4W
+    nc = t // chunk
+    rev = lambda i: (nc - 1 - i, 0, 0)  # noqa: E731
+    return pl.pallas_call(
+        _lstm_bwd_saved_kernel,
+        grid=(nc,),
+        in_specs=[
+            pl.BlockSpec((chunk, b, 5 * w), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, gw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, b, gw), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w, gw), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, gw), res.dtype),
+            jax.ShapeDtypeStruct((w, gw), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, w), jnp.float32),
+            pltpu.VMEM((b, w), jnp.float32),
+        ],
+        interpret=interpret,
+    )(res, hp, cp, dy, wh)
+
+
 def _lstm_bwd_kernel(
     xg_ref, hp_ref, cp_ref, cs_ref, dy_ref, wh_ref,
     dxg_ref, dwh_ref, dh_ref, dc_ref,
@@ -540,15 +688,22 @@ def lstm_scan_pallas(xg, wh, interpret=False):
 
 
 def _lstm_vjp_fwd(xg, wh, interpret):
-    ys, cs = _lstm_fwd(xg, wh, interpret=interpret)
-    return ys, (xg, wh, ys, cs)
+    if _RECOMPUTE_BWD:
+        ys, cs = _lstm_fwd(xg, wh, interpret=interpret)
+        return ys, (xg, wh, ys, cs, None)
+    ys, cs, gates = _lstm_fwd_save(xg, wh, interpret=interpret)
+    return ys, (None, wh, ys, cs, gates)
 
 
 def _lstm_vjp_bwd(interpret, res, dy):
-    xg, wh, ys, cs = res
+    xg, wh, ys, cs, gates = res
     hp = jnp.concatenate([jnp.zeros_like(ys[:1]), ys[:-1]], axis=0)
     cp = jnp.concatenate([jnp.zeros_like(cs[:1]), cs[:-1]], axis=0)
-    dxg, dwh = _lstm_bwd_call(xg, hp, cp, cs, dy, wh, interpret=interpret)
+    if gates is None:
+        dxg, dwh = _lstm_bwd_call(xg, hp, cp, cs, dy, wh, interpret=interpret)
+    else:
+        dxg, dwh = _lstm_bwd_saved_call(gates, hp, cp, dy, wh,
+                                        interpret=interpret)
     return dxg, dwh.astype(wh.dtype)
 
 

@@ -334,3 +334,27 @@ def test_bilstm_lm_state_roundtrip(synthetic_root, tmp_path):
                      model_state=ts.model_state)
     bundle = ckpt.load_resume(rpath)
     assert bundle["model_state"] is not None
+
+
+def test_eval_beam_search_stateful_model(synthetic_root, tmp_path):
+    """eval_beam_search on the stateful bilstm_lm (regression: used to crash
+    on the missing model_state)."""
+    from pytorch_video_action_tpu.infer.beam import eval_beam_search
+    from pytorch_video_action_tpu.lm.train_arpa import train_arpa
+
+    train_ds, dev_ds = _datasets(synthetic_root)
+    n_class = train_ds.n_class
+    model = build_model("bilstm_lm", n_class, lstm_layer=1, lstm_hidden1=32,
+                        lstm_hidden2=16, lstm_dropout=0.0)
+    trainer = Trainer(model, n_class, lr=1e-3, seed=0)
+    ts = trainer.init_state()
+    for b in BatchFeed(train_ds, batch_size=2, bucket_multiple=32):
+        trainer.train_step(ts, b)
+
+    arpa = str(tmp_path / "lm.arpa")
+    train_arpa(["1 2 3", "1 2", "2 3 4", "1 3"], arpa, order=2)
+    seg_acc, frame_acc = eval_beam_search(
+        model, ts.params, BatchFeed(dev_ds, batch_size=2, bucket_multiple=32),
+        arpa, beam_size=3, model_state=ts.model_state,
+    )
+    assert 0.0 <= seg_acc <= 100.0 and 0.0 <= frame_acc <= 100.0
