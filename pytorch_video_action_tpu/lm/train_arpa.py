@@ -119,3 +119,25 @@ def train_arpa(
                 f.write(line + "\n")
             f.write("\n")
         f.write("\\end\\\n")
+
+
+def main(argv=None):
+    """CLI: ``python -m pytorch_video_action_tpu.lm.train_arpa corpus.txt
+    out.arpa [--order 3]`` — train a Kneser-Ney ARPA model from a text
+    corpus (one space-separated sentence per line)."""
+    import argparse
+
+    ap = argparse.ArgumentParser(description=main.__doc__)
+    ap.add_argument("corpus", help="text corpus, one sentence per line")
+    ap.add_argument("out", help="output .arpa path")
+    ap.add_argument("--order", type=int, default=3)
+    args = ap.parse_args(argv)
+    with open(args.corpus) as f:
+        sentences = [line.strip() for line in f if line.strip()]
+    train_arpa(sentences, args.out, order=args.order)
+    print(f"Trained ARPA LM ({args.order}-gram, {len(sentences)} sentences): "
+          f"{args.out}")
+
+
+if __name__ == "__main__":
+    main()
