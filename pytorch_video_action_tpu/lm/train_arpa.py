@@ -134,6 +134,10 @@ def main(argv=None):
     args = ap.parse_args(argv)
     with open(args.corpus) as f:
         sentences = [line.strip() for line in f if line.strip()]
+    import os
+
+    if os.path.dirname(args.out):
+        os.makedirs(os.path.dirname(args.out), exist_ok=True)
     train_arpa(sentences, args.out, order=args.order)
     print(f"Trained ARPA LM ({args.order}-gram, {len(sentences)} sentences): "
           f"{args.out}")
