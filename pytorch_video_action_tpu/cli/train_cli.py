@@ -219,6 +219,7 @@ def main(argv=None):
     # — the TPU-pod analog of the reference's nonexistent failure handling
     # (SURVEY.md §5 failure-detection row)
     stop_requested = {"flag": False}
+    saved_handlers = {}
     if args.resume is not None:
         import signal
 
@@ -227,15 +228,27 @@ def main(argv=None):
             stop_requested["flag"] = True
 
         for sig in (signal.SIGTERM, signal.SIGINT):
-            signal.signal(sig, _request_stop)
+            saved_handlers[sig] = signal.signal(sig, _request_stop)
 
+    try:
+        return _train_loop(args, trainer, ts, train_feed, dev_feed, model,
+                           stop_requested)
+    finally:
+        if saved_handlers:
+            import signal
+
+            for sig, h in saved_handlers.items():
+                signal.signal(sig, h)
+
+
+def _train_loop(args, trainer, ts, train_feed, dev_feed, model,
+                stop_requested):
     metrics = MetricsLogger(args.metrics_jsonl)
     previous_dev = 0.0
     first_epoch = ts.epoch
-    device_batches = None
+    cache_built = False
+    device_batches: list = []
     frames_per_batch: list = []
-    first_epoch_batches: list = []
-    first_epoch_frames: list = []
     epoch_rng = np.random.default_rng(args.seed + 1)
     for epoch in range(ts.epoch, args.epoch):
         ts.epoch = epoch
@@ -246,7 +259,7 @@ def main(argv=None):
         n_batches = 0
         print('Starting Epoch #{}, {} iterations'.format(
             epoch + 1, len(train_feed)))
-        if args.cache_device and device_batches is not None:
+        if cache_built:
             # device-resident epoch: reshuffle order only (the reference
             # sampler semantics, data_utils.py:56-61) — zero H2D traffic
             order = epoch_rng.permutation(len(device_batches))
@@ -255,10 +268,10 @@ def main(argv=None):
             batch_iter = ((b, int(np.sum(b[1]))) for b in prefetch_iter(train_feed))
         with profile_trace(args.profile_dir if epoch == first_epoch else None):
             for batch, frames in batch_iter:
-                if args.cache_device and device_batches is None:
+                if args.cache_device and not cache_built:
                     batch = trainer.prepare_batch(batch)
-                    first_epoch_batches.append(batch)
-                    first_epoch_frames.append(frames)
+                    device_batches.append(batch)
+                    frames_per_batch.append(frames)
                 loss = trainer.train_step(ts, batch)
                 timer.note(frames, loss)
                 running_loss += float(loss)
@@ -270,9 +283,8 @@ def main(argv=None):
                     print(f"Saved resume bundle to {args.resume} "
                           f"(epoch {epoch}, {n_batches} batches)")
                     return previous_dev
-        if args.cache_device and device_batches is None:
-            device_batches = first_epoch_batches
-            frames_per_batch = first_epoch_frames
+        if args.cache_device:
+            cache_built = True
         epoch_s = timer.elapsed()
         delta_time = (datetime.now() - start).seconds / 60.0
         print('[%d, %5d] Train loss: %.3f (%.3f mins)' % (

@@ -15,7 +15,6 @@ with OOV words mapped to ``<unk>``.
 from __future__ import annotations
 
 import gzip
-import math
 
 
 class ArpaLanguageModel:

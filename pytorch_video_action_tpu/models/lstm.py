@@ -177,13 +177,18 @@ def apply_bilstm_lm(
         bidirectional=True, dropout_rate=cfg.dropout_rate, train=train, rng=r_rnn,
     )
     mask = length_mask(lengths, t)
-    valid = mask.reshape(-1, 1).astype(x.dtype)
-    flat = out.reshape(-1, cfg.hidden_dim_1)
+    # BatchNorm statistics always in f32: bf16 sums/counts over B*T rows
+    # round badly (integers above 256 are not representable), violating the
+    # mixed-precision policy of full-precision normalization
+    valid = mask.reshape(-1, 1).astype(jnp.float32)
+    flat = out.reshape(-1, cfg.hidden_dim_1).astype(jnp.float32)
     flat, s1 = _batch_norm(params["bn1"], state["bn1"], flat, train, valid=valid)
-    hidden = jnp.tanh(linear(params["linear"], flat))
-    hidden, s2 = _batch_norm(params["bn2"], state["bn2"], hidden, train,
-                             valid=valid)
-    hidden = hidden.reshape(b, t, cfg.hidden_dim_2)
+    hidden = jnp.tanh(linear(params["linear"], flat.astype(x.dtype)))
+    hidden, s2 = _batch_norm(
+        params["bn2"], state["bn2"], hidden.astype(jnp.float32), train,
+        valid=valid,
+    )
+    hidden = hidden.astype(x.dtype).reshape(b, t, cfg.hidden_dim_2)
     ctx_dim = cfg.context * cfg.n_class
     w, bias = params["output"]["w"], params["output"]["b"]
     w_ctx, w_hid = w[:ctx_dim], w[ctx_dim:]

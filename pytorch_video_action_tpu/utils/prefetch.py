@@ -19,24 +19,40 @@ _END = object()
 
 def prefetch_iter(source: Iterable, size: int = 2) -> Iterator:
     """Iterate ``source`` in a background thread, ``size`` items ahead.
-    Exceptions in the source re-raise at the consuming site."""
+    Exceptions in the source re-raise at the consuming site.  Abandoning the
+    generator early (e.g. preemption mid-epoch) stops the producer rather
+    than leaving it blocked forever on a full queue."""
     q: queue.Queue = queue.Queue(maxsize=max(size, 1))
+    stop = threading.Event()
+
+    def _put(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.1)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for item in source:
-                q.put(item)
+                if not _put(item):
+                    return
         except BaseException as e:  # noqa: BLE001 - propagate to consumer
-            q.put((_END, e))
+            _put((_END, e))
             return
-        q.put((_END, None))
+        _put((_END, None))
 
     t = threading.Thread(target=worker, daemon=True)
     t.start()
-    while True:
-        item = q.get()
-        if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
-            if item[1] is not None:
-                raise item[1]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if isinstance(item, tuple) and len(item) == 2 and item[0] is _END:
+                if item[1] is not None:
+                    raise item[1]
+                return
+            yield item
+    finally:
+        stop.set()

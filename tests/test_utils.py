@@ -88,3 +88,22 @@ def test_run_length_segments():
     seq, bounds = run_length_segments(labels)
     assert list(seq) == [3, 0, 7]
     assert list(bounds) == [0, 2, 5, 6]
+
+
+def test_prefetch_abandoned_consumer_stops_producer():
+    """Abandoning the generator early must unblock and stop the worker."""
+    import threading
+
+    started = threading.active_count()
+
+    def gen():
+        for i in range(10_000):
+            yield i
+
+    it = prefetch_iter(gen(), size=1)
+    assert next(it) == 0
+    it.close()  # GeneratorExit -> finally -> stop event
+    deadline = time.time() + 2.0
+    while threading.active_count() > started and time.time() < deadline:
+        time.sleep(0.02)
+    assert threading.active_count() <= started

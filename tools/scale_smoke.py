@@ -33,9 +33,11 @@ def make_video(rng, means, t_min, t_max, n_class):
     t_target = int(rng.integers(t_min, t_max))
     labels = []
     labels += [0] * int(rng.integers(20, 120))  # leading SIL
-    while len(labels) < t_target:
+    while True:  # always >=1 action segment (segment.txt needs a non-SIL extent)
         cls = int(rng.integers(1, n_class))
         labels += [cls] * int(rng.integers(40, 300))
+        if len(labels) >= t_target:
+            break
     labels += [0] * int(rng.integers(20, 120))  # trailing SIL
     labels = np.array(labels[: t_max + 200], dtype=np.int64)
     feats = (means[labels] + rng.normal(0, 0.45, size=(len(labels), N_FEAT))
