@@ -85,7 +85,7 @@ def ring_attention(
         return (carry, k_cur, v_cur, mask_cur), None
 
     init = jax.tree.map(
-        lambda z: lax.pvary(z, tuple(jax.typeof(q).vma)),
+        lambda z: lax.pcast(z, tuple(jax.typeof(q).vma), to="varying"),
         (
             jnp.full((b, h, t_loc), NEG_INF, q.dtype),
             jnp.zeros((b, h, t_loc), q.dtype),
