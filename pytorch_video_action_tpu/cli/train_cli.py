@@ -111,11 +111,11 @@ def main(argv=None):
     args = parse_arguments(argv)
     # fail fast on invalid parallelism combos, before the (slow) data load
     if args.seq_parallel > 1:
-        if args.model not in ('ms_tcn', 'mstcn'):
+        if args.model not in ('ms_tcn', 'mstcn', 'attn'):
             raise SystemExit(
-                '--seq_parallel requires --model ms_tcn (time-local ops); '
-                'use --data_parallel for the RNN/attention models, or the '
-                'parallel.ring library API for sequence-parallel attention'
+                '--seq_parallel supports ms_tcn (halo-exchange dilated '
+                'convs) and attn (ring attention); use --data_parallel '
+                'for the recurrent models'
             )
         if args.bucket_multiple % args.seq_parallel != 0:
             raise SystemExit(

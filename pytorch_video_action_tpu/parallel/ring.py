@@ -46,12 +46,19 @@ def ring_attention(
     v: jax.Array,
     key_mask: jax.Array | None = None,
     axis_name: str = "seq",
+    dropout_rate: float = 0.0,
+    rng=None,
 ) -> jax.Array:
     """Blockwise-exact self-attention inside ``shard_map``.
 
     Args (all local blocks, time axis sharded over ``axis_name``):
       q, k, v:   ``[B, H, T_loc, d]`` (q pre-scaled by 1/sqrt(d))
       key_mask:  ``[B, T_loc]`` bool — True for valid (attendable) keys.
+    ``dropout_rate``/``rng`` enable attention-matrix dropout with the dense
+    path's post-softmax semantics: the dropout mask multiplies the NUMERATOR
+    accumulator only (the softmax denominator is unaffected by dropout), so
+    the result equals ``dropout(softmax(s)) @ v`` exactly — per-block masks
+    are decorrelated by (ring step, device index).
     Returns the attention output block ``[B, H, T_loc, d]``.
     """
     n = lax.axis_size(axis_name)
@@ -59,8 +66,11 @@ def ring_attention(
     if key_mask is None:
         key_mask = jnp.ones((b, t_loc), dtype=bool)
     perm = _ring_perm(n)
+    use_dropout = dropout_rate > 0.0 and rng is not None
+    if use_dropout:
+        rng = jax.random.fold_in(rng, lax.axis_index(axis_name))
 
-    def fold(carry, kv_mask):
+    def fold(carry, kv_mask, step):
         m, l, acc = carry
         k_blk, v_blk, mask_blk = kv_mask
         s = jnp.einsum("bhqd,bhkd->bhqk", q, k_blk)
@@ -70,12 +80,22 @@ def ring_attention(
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new[..., None])
         l = l * alpha + p.sum(axis=-1)
-        acc = acc * alpha[..., None] + jnp.einsum("bhqk,bhkd->bhqd", p, v_blk)
+        if use_dropout:
+            keep = 1.0 - dropout_rate
+            mask = jax.random.bernoulli(
+                jax.random.fold_in(rng, step), keep, p.shape
+            )
+            p_num = p * mask / keep
+        else:
+            p_num = p
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p_num, v_blk
+        )
         return (m_new, l, acc)
 
-    def body(state, _):
+    def body(state, step):
         carry, k_cur, v_cur, mask_cur = state
-        carry = fold(carry, (k_cur, v_cur, mask_cur))
+        carry = fold(carry, (k_cur, v_cur, mask_cur), step)
         # rotate K/V/mask to the next device; the last rotation is dead code
         # the compiler drops (scan over static length = unrolled ring steps,
         # and reverse-mode AD works, unlike fori_loop)
@@ -93,7 +113,7 @@ def ring_attention(
         ),
     )
     ((m, l, acc), _, _, _), _ = lax.scan(
-        body, (init, k, v, key_mask), None, length=n
+        body, (init, k, v, key_mask), jnp.arange(n)
     )
     # fully-masked query rows (padding): l==0 -> emit zeros, they are masked
     # downstream exactly like the dense path's uniform-softmax rows times 0.
@@ -155,13 +175,22 @@ def sp_mha_self_attention(
     *,
     axis_name: str = "seq",
     impl: str = "ring",
+    dropout_rate: float = 0.0,
+    rng=None,
 ) -> jax.Array:
-    """Sequence-parallel equivalent of ``mha_self_attention`` (eval mode) on a
-    local time block; returns the attended block ``[B, T_loc, E]``."""
+    """Sequence-parallel equivalent of ``mha_self_attention`` on a local
+    time block; returns the attended block ``[B, T_loc, E]``.  Attention
+    dropout (train mode) is supported on the ring implementation only."""
     b, t_loc, e = x_loc.shape
     q, k, v = _qkv_blocks(p, x_loc, num_heads)
-    attend = ring_attention if impl == "ring" else ulysses_attention
-    out = attend(q, k, v, key_mask_loc, axis_name=axis_name)
+    if impl == "ring":
+        out = ring_attention(q, k, v, key_mask_loc, axis_name=axis_name,
+                             dropout_rate=dropout_rate, rng=rng)
+    else:
+        assert dropout_rate == 0.0 or rng is None, (
+            "attention dropout is implemented for impl='ring' only"
+        )
+        out = ulysses_attention(q, k, v, key_mask_loc, axis_name=axis_name)
     out = out.transpose(0, 2, 1, 3).reshape(b, t_loc, e)
     return out @ p["out_proj_w"] + p["out_proj_b"]
 
@@ -174,10 +203,13 @@ def attn_forward_sp(
     mesh: Mesh,
     *,
     impl: str = "ring",
+    train: bool = False,
+    rng=None,
 ) -> jax.Array:
-    """Sequence-parallel forward of the ``attn`` model (eval mode): ring (or
-    Ulysses) attention over time shards, then the 1-layer BiGRU on the
-    gathered attended features.
+    """Sequence-parallel forward of the ``attn`` model: ring (or Ulysses)
+    attention over time shards, then the 1-layer BiGRU on the gathered
+    attended features.  Train mode applies ring attention-matrix dropout
+    with the dense path's post-softmax semantics.
 
     The attention is the O(T^2) memory/FLOP hog and stays fully blockwise;
     the BiGRU is O(T) and inherently sequential, so its input is
@@ -190,6 +222,7 @@ def attn_forward_sp(
     from ..models.common import linear, log_softmax
 
     t = x.shape[1]
+    drop = cfg.dropout_rate if (train and rng is not None) else 0.0
 
     def local_fn(params, x_loc, lengths):
         t_loc = x_loc.shape[1]
@@ -198,7 +231,7 @@ def attn_forward_sp(
         mask_loc = t_idx[None, :] < lengths[:, None]  # [B_loc, T_loc]
         h_loc = sp_mha_self_attention(
             params["attention"], x_loc, cfg.num_heads, mask_loc,
-            impl=impl,
+            impl=impl, dropout_rate=drop, rng=rng,
         )
         # gather time axis for the (cheap, sequential) recurrent tail
         h = lax.all_gather(h_loc, "seq", axis=1, tiled=True)  # [B_loc, T, E]

@@ -172,15 +172,24 @@ class SeqDataParallel:
         return jax.device_put(tree, self._replicated)
 
     def wrap_model(self, model_def):
-        """ModelDef whose apply runs the sequence-parallel forward."""
+        """ModelDef whose apply runs the sequence-parallel forward
+        (MS-TCN: halo-exchange dilated convs; attn: ring attention)."""
         from dataclasses import replace
 
         cfg, mesh = model_def.config, self.mesh
 
-        def apply(params, x, lengths, *, train=False, rng=None):
-            return mstcn_forward_sp(
-                params, cfg, x, lengths, mesh, train=train, rng=rng
-            )
+        if model_def.name == "attn":
+            from .ring import attn_forward_sp
+
+            def apply(params, x, lengths, *, train=False, rng=None):
+                return attn_forward_sp(
+                    params, cfg, x, lengths, mesh, train=train, rng=rng
+                )
+        else:
+            def apply(params, x, lengths, *, train=False, rng=None):
+                return mstcn_forward_sp(
+                    params, cfg, x, lengths, mesh, train=train, rng=rng
+                )
 
         return replace(model_def, apply=apply)
 
