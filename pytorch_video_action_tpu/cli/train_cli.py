@@ -82,8 +82,8 @@ def parse_arguments(argv=None):
                         help='Shard the batch over this many devices (0 = off)')
     parser.add_argument('--seq_parallel', type=int, default=0,
                         help='Shard the TIME axis over this many devices '
-                             '(ms_tcn only: halo-exchange dilated convs over '
-                             'ICI); combines with --data_parallel')
+                             '(ms_tcn: halo-exchange dilated convs; attn: '
+                             'ring attention); combines with --data_parallel')
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--resume', default=None,
                         help='Resume bundle path (params+optimizer+epoch)')

@@ -49,14 +49,16 @@ def _pick_chunk(t: int, b: int, w: int, gw: int, streams: int = 16) -> int | Non
 
 
 def _supported(t: int, b: int, w: int, gw: int) -> bool:
-    # gate on the WIDEST kernel in the VJP path (the saved-gates backward,
-    # streams=18) — gating on the forward's width would admit shapes whose
-    # backward then fails to fit VMEM and crashes under jax.grad
+    # gate on the WIDEST kernel in the active VJP path — gating on the
+    # forward's width would admit shapes whose backward then fails to fit
+    # VMEM and crashes under jax.grad (saved-gates bwd streams 18;
+    # recompute bwd streams 16)
+    bwd_streams = 16 if _RECOMPUTE_BWD else 18
     return (
         b % 8 == 0
         and w % 128 == 0
         and gw == 3 * w
-        and _pick_chunk(t, b, w, gw, streams=18) is not None
+        and _pick_chunk(t, b, w, gw, streams=bwd_streams) is not None
     )
 
 

@@ -229,9 +229,16 @@ def attn_forward_sp(
         offset = lax.axis_index("seq") * t_loc
         t_idx = offset + jnp.arange(t_loc, dtype=jnp.int32)
         mask_loc = t_idx[None, :] < lengths[:, None]  # [B_loc, T_loc]
+        # decorrelate dropout across the DATA axis too (ring_attention folds
+        # in the seq index itself; without this, samples on different data
+        # shards would share masks, unlike the dense path)
+        rng_loc = (
+            jax.random.fold_in(rng, lax.axis_index("data"))
+            if drop > 0.0 else rng
+        )
         h_loc = sp_mha_self_attention(
             params["attention"], x_loc, cfg.num_heads, mask_loc,
-            impl=impl, dropout_rate=drop, rng=rng,
+            impl=impl, dropout_rate=drop, rng=rng_loc,
         )
         # gather time axis for the (cheap, sequential) recurrent tail
         h = lax.all_gather(h_loc, "seq", axis=1, tiled=True)  # [B_loc, T, E]

@@ -173,23 +173,38 @@ class SeqDataParallel:
 
     def wrap_model(self, model_def):
         """ModelDef whose apply runs the sequence-parallel forward
-        (MS-TCN: halo-exchange dilated convs; attn: ring attention)."""
+        (MS-TCN: halo-exchange dilated convs; attn: ring attention).
+
+        The wrapped apply pads B/T itself (fully masked rows/frames) so
+        callers that bypass :meth:`shard_batch` — the eval path's
+        ``predict_batches``, whose batches need not divide the mesh axes —
+        still shard cleanly; outputs are sliced back to the caller's shape."""
         from dataclasses import replace
 
         cfg, mesh = model_def.config, self.mesh
+        n_data, n_seq = self.n_data, self.n_seq
 
         if model_def.name == "attn":
             from .ring import attn_forward_sp
 
-            def apply(params, x, lengths, *, train=False, rng=None):
-                return attn_forward_sp(
-                    params, cfg, x, lengths, mesh, train=train, rng=rng
-                )
+            sp_forward = attn_forward_sp
         else:
-            def apply(params, x, lengths, *, train=False, rng=None):
-                return mstcn_forward_sp(
-                    params, cfg, x, lengths, mesh, train=train, rng=rng
-                )
+            sp_forward = mstcn_forward_sp
+
+        def apply(params, x, lengths, *, train=False, rng=None):
+            b, t = x.shape[0], x.shape[1]
+            pad_b = (n_data - b % n_data) % n_data
+            pad_t = (n_seq - t % n_seq) % n_seq
+            if pad_b or pad_t:
+                x = jnp.pad(x, ((0, pad_b), (0, pad_t), (0, 0)))
+                lengths = jnp.pad(lengths, (0, pad_b))
+            out = sp_forward(params, cfg, x, lengths, mesh, train=train,
+                             rng=rng)
+            if pad_b:
+                out = out[:b]
+            if pad_t and out.ndim == 3:
+                out = out[:, :t]
+            return out
 
         return replace(model_def, apply=apply)
 

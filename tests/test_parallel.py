@@ -275,3 +275,24 @@ def test_ring_attention_dropout_semantics():
     assert np.abs(dropped - base).max() > 1e-4  # dropout actually acted
     # same key, same result (deterministic masks)
     np.testing.assert_array_equal(dropped, run(0.5, jax.random.PRNGKey(7)))
+
+
+def test_sp_eval_handles_indivisible_batches(synthetic_root, tmp_path,
+                                             monkeypatch):
+    """Eval bypasses shard_batch; the wrapped SP apply must pad batches whose
+    size does not divide the mesh axes (regression: ValueError after epoch 1
+    with a ragged last dev batch)."""
+    from pytorch_video_action_tpu.cli.train_cli import main as train_main
+    import os
+
+    monkeypatch.chdir(tmp_path)
+    # batchsize 3 over 4 dev videos -> last eval batch b=1, not divisible by
+    # the data axis (2)
+    acc = train_main([
+        "--model", "ms_tcn", "--epoch", "1", "--batchsize", "3",
+        "--seq_parallel", "2", "--data_parallel", "2",
+        "--data_dir", os.path.join(str(synthetic_root), "data"),
+        "--annot_path", str(synthetic_root),
+        "--bucket_multiple", "32",
+    ])
+    assert acc is not None and 0.0 <= acc <= 100.0
