@@ -60,7 +60,11 @@ def _mha(sd, prefix):
 
 def import_torch_state_dict(model_name: str, cfg, sd: dict) -> dict:
     """Convert a reference-model state_dict (tensors or ndarrays) to params."""
-    sd = {k: np.asarray(v) for k, v in sd.items()}
+    # copy=True: np.asarray over a torch tensor SHARES memory, and jnp.asarray
+    # on CPU can be zero-copy too — without the copy, imported buffers would
+    # alias the live torch module (its in-place BatchNorm running-stat updates
+    # would silently mutate our state trees)
+    sd = {k: np.array(v, copy=True) for k, v in sd.items()}
     if model_name == "simple_fc":
         return {f"fc{i}": _lin(sd, f"fc{i}") for i in range(1, 5)}
     if model_name == "vanilla_lstm":
@@ -74,6 +78,27 @@ def import_torch_state_dict(model_name: str, cfg, sd: dict) -> dict:
             "linear": _lin(sd, "linear"),
             "output": _lin(sd, "output"),
         }
+    if model_name == "bilstm_lm":
+        # stateful: BatchNorm running stats live in a separate state tree
+        # (reference networks.py:103-105 registers them in the state_dict)
+        def _bn(prefix):
+            return (
+                {"scale": jnp.asarray(sd[f"{prefix}.weight"]),
+                 "bias": jnp.asarray(sd[f"{prefix}.bias"])},
+                {"mean": jnp.asarray(sd[f"{prefix}.running_mean"]),
+                 "var": jnp.asarray(sd[f"{prefix}.running_var"])},
+            )
+
+        bn1_p, bn1_s = _bn("batch_norm_1")
+        bn2_p, bn2_s = _bn("batch_norm_2")
+        params = {
+            "rnn": _rnn(sd, "rnn", cfg.lstm_layer, True),
+            "linear": _lin(sd, "linear"),
+            "output": _lin(sd, "output"),
+            "bn1": bn1_p,
+            "bn2": bn2_p,
+        }
+        return params, {"bn1": bn1_s, "bn2": bn2_s}
     if model_name in ("bigru", "ctcloss"):
         return {
             "rnn": _rnn(sd, "rnn", cfg.gru_layer, True),

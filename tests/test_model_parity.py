@@ -98,6 +98,66 @@ def test_bilstm_parity(mode):
     _compare("bilstm", net, jd, x, lengths)
 
 
+def test_bilstm_lm_parity_eval():
+    """Weight-for-weight oracle parity for the stateful BiLSTMWithLM
+    (``networks.py:89-141``) at batch 1 — the only batch size where the
+    reference's flattened-row context loop is self-consistent (its
+    ``reset_idx = cumsum(x_len)`` never fires within a single video, so the
+    zero-initialized buffer IS the per-video zero context we scan with)."""
+    x, lengths = _inputs(equal_lengths=True, b=1)
+    net = ref_nets.BiLSTMWithLM(
+        D, lstm_layer=2, hidden_dim_1=64, hidden_dim_2=32, n_class=N_CLASS,
+        dropout_rate=0.0,
+    )
+    net.eval()
+    jd = build_model(
+        "bilstm_lm", N_CLASS, lstm_layer=2, lstm_hidden1=64, lstm_hidden2=32,
+        lstm_dropout=0.0,
+    )
+    params, state = import_torch_state_dict("bilstm_lm", jd.config, net.state_dict())
+    with torch.no_grad():
+        ref_out = net(torch.tensor(x), list(map(int, lengths))).numpy()
+    out, _ = jd.apply(
+        params, jnp.asarray(x), jnp.asarray(lengths), train=False, state=state
+    )
+    out = np.asarray(out).reshape(ref_out.shape)
+    np.testing.assert_allclose(out, ref_out, atol=5e-4, rtol=1e-3)
+
+
+def test_bilstm_lm_parity_train_batchnorm_stats():
+    """Train-mode parity: outputs AND the BatchNorm running-stat updates
+    (momentum 0.1, unbiased running var — ``nn.BatchNorm1d`` semantics) must
+    match the oracle after one forward (dropout disabled for determinism)."""
+    x, lengths = _inputs(equal_lengths=True, b=1, seed=7)
+    net = ref_nets.BiLSTMWithLM(
+        D, lstm_layer=2, hidden_dim_1=64, hidden_dim_2=32, n_class=N_CLASS,
+        dropout_rate=0.0,
+    )
+    jd = build_model(
+        "bilstm_lm", N_CLASS, lstm_layer=2, lstm_hidden1=64, lstm_hidden2=32,
+        lstm_dropout=0.0,
+    )
+    params, state = import_torch_state_dict("bilstm_lm", jd.config, net.state_dict())
+    net.train()
+    with torch.no_grad():
+        ref_out = net(torch.tensor(x), list(map(int, lengths))).numpy()
+    out, new_state = jd.apply(
+        params, jnp.asarray(x), jnp.asarray(lengths), train=True, rng=None,
+        state=state,
+    )
+    out = np.asarray(out).reshape(ref_out.shape)
+    np.testing.assert_allclose(out, ref_out, atol=5e-4, rtol=1e-3)
+    for bn, mod in (("bn1", net.batch_norm_1), ("bn2", net.batch_norm_2)):
+        np.testing.assert_allclose(
+            np.asarray(new_state[bn]["mean"]), mod.running_mean.numpy(),
+            atol=1e-5, rtol=1e-4,
+        )
+        np.testing.assert_allclose(
+            np.asarray(new_state[bn]["var"]), mod.running_var.numpy(),
+            atol=1e-5, rtol=1e-4,
+        )
+
+
 def test_bigru_parity():
     x, lengths = _inputs()
     net = ref_nets.BiGRU(D, n_class=N_CLASS)
@@ -111,6 +171,30 @@ def test_attn_parity():
     net = ref_nets.MultiHeadAttention(D, 4, n_class=N_CLASS, mode="cont")
     jd = build_model("attn", N_CLASS, attn_head=4)
     _compare("attn", net, jd, x, lengths, atol=5e-4)
+
+
+@pytest.mark.parametrize("mode", ["avg", "last"])
+def test_attn_masked_pooling_padding_invariant(mode):
+    """Documented deviation (README): attn's avg/last pooling masks padded
+    rows (the reference pools over them, ``networks.py:195-198``), so the
+    pooled output of a ragged batch must equal each video evaluated alone at
+    its exact length."""
+    x, lengths = _inputs(equal_lengths=False)
+    jd = build_model("attn", N_CLASS, attn_head=4, pred_mode=mode)
+    params = jd.init(jax.random.PRNGKey(0))
+    batched = np.asarray(
+        jd.apply(params, jnp.asarray(x), jnp.asarray(lengths), train=False)
+    )
+    for i, l in enumerate(lengths):
+        solo = np.asarray(
+            jd.apply(
+                params,
+                jnp.asarray(x[i : i + 1, :l]),
+                jnp.asarray([l]),
+                train=False,
+            )
+        )
+        np.testing.assert_allclose(batched[i], solo[0], atol=1e-5, rtol=1e-5)
 
 
 def test_win_attn_parity():
