@@ -39,9 +39,12 @@ def init_mha(rng, embed_dim: int) -> dict:
     }
 
 
-# above this sequence length the eval path switches to the blockwise
+# above this sequence length the model switches to the blockwise
 # (FlashAttention-style) kernel: O(T * BLOCK) live memory instead of the
-# dense [B, H, T, T] score tensor (Breakfast videos reach 4k+ frames)
+# dense [B, H, T, T] score tensor (Breakfast videos reach 4k+ frames).
+# Training included: ``ops.flash`` carries a recompute custom VJP with exact
+# post-softmax attention dropout, so full videos train on one chip without
+# the dense tensor (the reference trains full videos, networks.py:186-203).
 BLOCKWISE_MIN_T = 1024
 BLOCKWISE_BLOCK = 512
 
@@ -49,41 +52,15 @@ BLOCKWISE_BLOCK = 512
 def blockwise_self_attention(q, k, v, key_mask):
     """Online-softmax attention over KV chunks (single device; the ring
     variant in ``parallel/ring.py`` is the multi-chip analog of this loop).
+    q pre-scaled ``[B, H, T, d]``; key_mask ``[B, T]`` bool.  Exact.
 
-    q pre-scaled ``[B, H, T, d]``; key_mask ``[B, T]`` bool.  Exact (not an
-    approximation); eval path only — training uses the dense form so
-    attention-matrix dropout and cheap reverse-mode stay available."""
-    b, h, t, d = q.shape
-    c = min(BLOCKWISE_BLOCK, t)
-    pad = (c - t % c) % c
-    if pad:
-        k = jnp.pad(k, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        v = jnp.pad(v, ((0, 0), (0, 0), (0, pad), (0, 0)))
-        key_mask = jnp.pad(key_mask, ((0, 0), (0, pad)))
-    n = k.shape[2] // c
-    k_blocks = k.reshape(b, h, n, c, d).transpose(2, 0, 1, 3, 4)
-    v_blocks = v.reshape(b, h, n, c, d).transpose(2, 0, 1, 3, 4)
-    m_blocks = key_mask.reshape(b, n, c).transpose(1, 0, 2)
+    Thin wrapper over ``ops.flash.flash_self_attention`` (which adds the
+    flash recompute backward + train-mode dropout); note the flash kernel
+    emits ZEROS for fully-masked query rows where the dense softmax emits a
+    uniform average — both are padding discarded downstream."""
+    from ..ops.flash import flash_self_attention
 
-    def fold(carry, blk):
-        m, l, acc = carry
-        k_c, v_c, mask_c = blk
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_c)
-        s = jnp.where(mask_c[:, None, None, :], s, -1e30)
-        m_new = jnp.maximum(m, s.max(axis=-1))
-        alpha = jnp.exp(m - m_new)
-        p_ = jnp.exp(s - m_new[..., None])
-        l = l * alpha + p_.sum(axis=-1)
-        acc = acc * alpha[..., None] + jnp.einsum("bhqk,bhkd->bhqd", p_, v_c)
-        return (m_new, l, acc), None
-
-    init = (
-        jnp.full((b, h, t), -1e30, q.dtype),
-        jnp.zeros((b, h, t), q.dtype),
-        jnp.zeros((b, h, t, d), q.dtype),
-    )
-    (m, l, acc), _ = jax.lax.scan(fold, init, (k_blocks, v_blocks, m_blocks))
-    return acc / jnp.maximum(l[..., None], 1e-30)
+    return flash_self_attention(q, k, v, key_mask, 0.0, None, BLOCKWISE_BLOCK)
 
 
 def mha_self_attention(
@@ -107,12 +84,17 @@ def mha_self_attention(
         return z.reshape(b, t, num_heads, hd).transpose(0, 2, 1, 3)
 
     q, k, v = heads(q) / jnp.sqrt(hd).astype(x.dtype), heads(k), heads(v)
-    if not train and t >= BLOCKWISE_MIN_T:
+    if t >= BLOCKWISE_MIN_T:
+        from ..ops.flash import flash_self_attention
+
         mask = (
             key_mask if key_mask is not None
             else jnp.ones((b, t), dtype=bool)
         )
-        out = blockwise_self_attention(q, k, v, mask)
+        rate = dropout_rate if (train and rng is not None) else 0.0
+        out = flash_self_attention(
+            q, k, v, mask, rate, rng if rate > 0.0 else None, BLOCKWISE_BLOCK
+        )
     else:
         scores = jnp.einsum("bhqd,bhkd->bhqk", q, k)
         if key_mask is not None:
