@@ -1,0 +1,203 @@
+"""Training-STEP parity: one Adam step on oracle weights must move our
+parameters exactly like the reference's ``loss.backward(); optimizer.step()``
+(``/root/reference/train.py:305-329``, Adam per ``train.py:273``).
+
+Upgrades the eval-forward parity suite to "same training": if loss masking,
+Adam hyperparameters, or gradient flow ever drift, the post-step parameter
+deltas diverge and these tests fail.  Forwards run deterministically (eval
+mode / dropout off) so the comparison is exact up to float noise; real data
+cannot be mounted in this environment (BASELINE.md), so step parity is the
+strongest available substitute for frame-accuracy parity.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference repo not mounted"
+)
+
+if os.path.isdir(REF):
+    sys.path.insert(0, REF)
+    import networks as ref_nets  # noqa: E402
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from pytorch_video_action_tpu.models import build_model  # noqa: E402
+from pytorch_video_action_tpu.models.torch_compat import (  # noqa: E402
+    import_torch_state_dict,
+)
+from pytorch_video_action_tpu.train.losses import (  # noqa: E402
+    make_loss_fn,
+    prepare_ctc_targets,
+)
+from pytorch_video_action_tpu.train.optim import make_optimizer  # noqa: E402
+
+N_CLASS = 6
+B, T, D = 2, 12, 400
+LR = 1e-3
+
+
+def _batch(seed=0):
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0, 1, size=(B, T, D)).astype(np.float32)
+    lengths = np.full((B,), T, dtype=np.int32)  # equal lengths: exact parity
+    targets = rng.integers(0, N_CLASS, size=(B * T,)).astype(np.int64)
+    targets[::5] = -1  # exercise ignore_index masking on both sides
+    return x, lengths, targets
+
+
+def _torch_step(net, x, lengths, targets, loss_kind, takes_len=True):
+    net.eval()  # deterministic forward; grads still flow
+    opt = torch.optim.Adam(net.parameters(), lr=LR, betas=(0.9, 0.999), eps=1e-8)
+    opt.zero_grad()
+    if takes_len:
+        out = net(torch.tensor(x), list(map(int, lengths)))
+    else:
+        out = net(torch.tensor(x))
+    out = out.reshape(-1, out.shape[-1])
+    if loss_kind == "ce":
+        crit = torch.nn.CrossEntropyLoss(ignore_index=-1)
+    else:
+        crit = torch.nn.NLLLoss(ignore_index=-1)
+    loss = crit(out, torch.tensor(targets))
+    loss.backward()
+    opt.step()
+    return float(loss)
+
+
+def _jax_step(model, params, x, lengths, targets, is_ctc=False):
+    loss_fn = make_loss_fn(model.name, N_CLASS)
+    tx, _ = make_optimizer(LR, 30, 1.0)
+    opt_state = tx.init(params)
+    if is_ctc:
+        ctc_t, ctc_tl = prepare_ctc_targets(targets, B)
+
+    def lf(p):
+        out = model.apply(p, jnp.asarray(x), jnp.asarray(lengths), train=False)
+        out = out.astype(jnp.float32)
+        if is_ctc:
+            return loss_fn(out, jnp.asarray(lengths), jnp.asarray(ctc_t),
+                           jnp.asarray(ctc_tl))
+        return loss_fn(out, jnp.asarray(targets))
+
+    loss, grads = jax.value_and_grad(lf)(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), float(loss)
+
+
+def _assert_tree_close(ours, ref, atol=1e-4, path=""):
+    """Adam steps are ~LR-sized; atol=1e-4 = 10% of one step."""
+    if isinstance(ours, dict):
+        assert set(ours) == set(ref), f"{path}: keys {set(ours)}^{set(ref)}"
+        for k in ours:
+            _assert_tree_close(ours[k], ref[k], atol, f"{path}/{k}")
+    elif isinstance(ours, (list, tuple)):
+        assert len(ours) == len(ref), path
+        for i, (a, b) in enumerate(zip(ours, ref)):
+            _assert_tree_close(a, b, atol, f"{path}[{i}]")
+    else:
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), atol=atol, rtol=0,
+            err_msg=f"post-step param mismatch at {path}",
+        )
+
+
+def _run_case(model_name, net, jd, loss_kind, takes_len=True, seed=0):
+    x, lengths, targets = _batch(seed)
+    params = import_torch_state_dict(model_name, jd.config, net.state_dict())
+    ref_loss = _torch_step(net, x, lengths, targets, loss_kind, takes_len)
+    new_params, our_loss = _jax_step(
+        jd, params, x, lengths, targets, is_ctc=(loss_kind == "ctc")
+    )
+    if loss_kind != "ctc":
+        assert abs(our_loss - ref_loss) < 1e-4, (our_loss, ref_loss)
+    ref_params = import_torch_state_dict(model_name, jd.config, net.state_dict())
+    _assert_tree_close(new_params, ref_params)
+
+
+def test_step_parity_simple_fc():
+    net = ref_nets.SimpleFC(D, N_CLASS)
+    jd = build_model("simple_fc", N_CLASS)
+    # reference quirk: NLLLoss over RAW logits (simple_fc never log_softmaxes)
+    _run_case("simple_fc", net, jd, "nll", takes_len=False)
+
+
+def test_step_parity_vanilla_lstm():
+    net = ref_nets.vanillaLSTM(
+        D, lstm_layer=2, hidden_dim=32, n_class=N_CLASS, dropout_rate=0.0
+    )
+    jd = build_model("vanilla_lstm", N_CLASS, lstm_layer=2, lstm_hidden1=32,
+                     lstm_dropout=0.0)
+    _run_case("vanilla_lstm", net, jd, "nll")
+
+
+def test_step_parity_bilstm():
+    net = ref_nets.BiLSTM(
+        D, lstm_layer=2, hidden_dim_1=64, dropout_rate=0.0, hidden_dim_2=32,
+        n_class=N_CLASS,
+    )
+    jd = build_model("bilstm", N_CLASS, lstm_layer=2, lstm_hidden1=64,
+                     lstm_hidden2=32, lstm_dropout=0.0)
+    _run_case("bilstm", net, jd, "nll")
+
+
+def test_step_parity_bigru():
+    net = ref_nets.BiGRU(D, n_class=N_CLASS)
+    jd = build_model("bigru", N_CLASS)
+    _run_case("bigru", net, jd, "nll")
+
+
+def test_step_parity_attn():
+    net = ref_nets.MultiHeadAttention(D, 4, n_class=N_CLASS)
+    jd = build_model("attn", N_CLASS, attn_head=4)
+    _run_case("attn", net, jd, "nll")
+
+
+def test_step_parity_ms_tcn():
+    net = ref_nets.MultiStageModel(D, n_class=N_CLASS)
+    jd = build_model("ms_tcn", N_CLASS)
+    _run_case("ms_tcn", net, jd, "ce")
+
+
+def test_step_parity_ctcloss():
+    net = ref_nets.BiGRU(D, n_class=N_CLASS + 1)
+    jd = build_model("ctcloss", N_CLASS)
+    x, lengths, targets = _batch(3)
+    targets = np.where(targets == -1,
+                       np.random.default_rng(4).integers(0, N_CLASS, B * T),
+                       targets)  # CTC: no pad labels at equal lengths
+    params = import_torch_state_dict("ctcloss", jd.config, net.state_dict())
+
+    # reference CTC step (train.py:311-323): unique_consecutive targets
+    net.eval()
+    opt = torch.optim.Adam(net.parameters(), lr=LR, betas=(0.9, 0.999), eps=1e-8)
+    opt.zero_grad()
+    out = net(torch.tensor(x), list(map(int, lengths)))
+    out = out.reshape(B, T, -1).permute(1, 0, 2)
+    labels = torch.tensor(targets).reshape(B, -1)
+    flat_targets = torch.tensor([], dtype=torch.int64)
+    targets_len = []
+    for j in range(B):
+        u = torch.unique_consecutive(labels[j])
+        flat_targets = torch.cat((flat_targets, u))
+        targets_len.append(u.shape[0])
+    crit = torch.nn.CTCLoss(blank=N_CLASS, zero_infinity=True)
+    loss = crit(out, flat_targets, torch.tensor(lengths),
+                torch.tensor(targets_len))
+    loss.backward()
+    opt.step()
+
+    new_params, our_loss = _jax_step(jd, params, x, lengths, targets,
+                                     is_ctc=True)
+    assert abs(our_loss - float(loss)) < 1e-3, (our_loss, float(loss))
+    ref_params = import_torch_state_dict("ctcloss", jd.config, net.state_dict())
+    _assert_tree_close(new_params, ref_params)
