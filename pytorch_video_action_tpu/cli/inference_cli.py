@@ -40,12 +40,23 @@ def parse_arguments(argv=None):
     parser.add_argument('--results_dir', default='results')
     parser.add_argument('--bucket_multiple', type=int, default=128)
     parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--data_parallel', type=int, default=0,
+                        help='Shard prediction batches over this many devices '
+                             '(0 = off); identical outputs, tested')
     parser.add_argument('--parity_quirks', type=bool, nargs='?', const=True,
                         default=False,
                         help="reproduce the reference's literal argsort[1] "
                              'zero-avoidance (second-least-frequent)')
     return parser.parse_args(argv)
 
+
+def _make_sharding(args):
+    """DataParallel mesh for the prediction forwards when requested."""
+    if getattr(args, 'data_parallel', 0) and args.data_parallel > 1:
+        from ..parallel import DataParallel
+
+        return DataParallel(args.data_parallel)
+    return None
 
 def main(argv=None):
     args = parse_arguments(argv)
@@ -75,6 +86,7 @@ def main(argv=None):
         # on at test time, inference.py:100); scene/lm drivers DO call it,
         # so only this driver reproduces the quirk under --parity_quirks
         dropout_at_test=args.parity_quirks,
+        sharding=_make_sharding(args),
     )
     if args.part == 'dev':
         return out

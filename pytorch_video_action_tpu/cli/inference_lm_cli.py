@@ -40,6 +40,9 @@ def parse_arguments(argv=None):
     parser.add_argument('--results_dir', default='results')
     parser.add_argument('--bucket_multiple', type=int, default=128)
     parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--data_parallel', type=int, default=0,
+                        help='Shard prediction batches over this many devices '
+                             '(0 = off); identical outputs, tested')
     parser.add_argument('--device_beam', type=bool, nargs='?', const=True,
                         default=False,
                         help='Run the beam search as one batched TPU program '
@@ -47,6 +50,14 @@ def parse_arguments(argv=None):
                              'the host loop')
     return parser.parse_args(argv)
 
+
+def _make_sharding(args):
+    """DataParallel mesh for the prediction forwards when requested."""
+    if getattr(args, 'data_parallel', 0) and args.data_parallel > 1:
+        from ..parallel import DataParallel
+
+        return DataParallel(args.data_parallel)
+    return None
 
 def main(argv=None):
     args = parse_arguments(argv)
@@ -74,6 +85,7 @@ def main(argv=None):
         remove_zero=args.remove_zero,
         bucket_multiple=args.bucket_multiple, batch_size=args.batch_size,
         device_beam=args.device_beam,
+        sharding=_make_sharding(args),
     )
     if args.part == 'dev':
         return out

@@ -32,10 +32,21 @@ def parse_arguments(argv=None):
     parser.add_argument('--results_dir', default='results')
     parser.add_argument('--bucket_multiple', type=int, default=128)
     parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--data_parallel', type=int, default=0,
+                        help='Shard prediction batches over this many devices '
+                             '(0 = off); identical outputs, tested')
     parser.add_argument('--parity_quirks', type=bool, nargs='?', const=True,
                         default=False)
     return parser.parse_args(argv)
 
+
+def _make_sharding(args):
+    """DataParallel mesh for the prediction forwards when requested."""
+    if getattr(args, 'data_parallel', 0) and args.data_parallel > 1:
+        from ..parallel import DataParallel
+
+        return DataParallel(args.data_parallel)
+    return None
 
 def main(argv=None):
     args = parse_arguments(argv)
@@ -57,6 +68,7 @@ def main(argv=None):
         dataset, models, prob_pref=args.prob,
         quirk_argsort1=args.parity_quirks,
         bucket_multiple=args.bucket_multiple, batch_size=args.batch_size,
+        sharding=_make_sharding(args),
     )
     stamp = datetime.now().strftime('%Y_%m_%d_%H_%M_%S')
     result_path = os.path.join(

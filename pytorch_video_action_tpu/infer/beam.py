@@ -81,6 +81,7 @@ def run_beam_inference(
     batch_size: int = 8,
     verbose: bool = True,
     device_beam: bool = False,
+    sharding=None,
 ):
     """Dev -> segment accuracy; test -> flat list of predicted labels.
 
@@ -93,6 +94,7 @@ def run_beam_inference(
         key: frame_predictions(
             mdef, params, dataset.features,
             bucket_multiple=bucket_multiple, batch_size=batch_size,
+            sharding=sharding,
         )
         for key, (mdef, params) in models.items()
     }

@@ -26,6 +26,7 @@ def run_ensemble(
     batch_size: int = 8,
     verbose: bool = True,
     dropout_at_test: bool = False,
+    sharding=None,
 ):
     """Returns dev accuracy (float) for ``part='dev'`` or the flat list of
     predicted segment labels for ``part='test'``.
@@ -36,7 +37,7 @@ def run_ensemble(
         key: frame_predictions(
             mdef, params, dataset.features,
             bucket_multiple=bucket_multiple, batch_size=batch_size,
-            dropout_at_test=dropout_at_test,
+            dropout_at_test=dropout_at_test, sharding=sharding,
         )
         for key, (mdef, params) in models.items()
     }

@@ -28,6 +28,7 @@ def frame_predictions(
     batch_size: int = 8,
     dropout_at_test: bool = False,
     seed: int = 0,
+    sharding=None,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Per video: (predicted_class [T] i64, max_log_prob [T] f32).
 
@@ -38,7 +39,12 @@ def frame_predictions(
     ``dropout_at_test`` reproduces the reference ``inference.py`` quirk of
     never calling ``net.eval()`` (``inference.py:100`` is commented out), so
     dropout stays active during prediction — gated behind ``--parity_quirks``.
+
+    ``sharding`` (``parallel.DataParallel``) shards each forward batch over
+    the mesh's 'data' axis — prediction is embarrassingly data-parallel, so
+    the inference drivers scale across chips like the train step.
     """
+    use_dp = sharding is not None and hasattr(sharding, "shard_eval")
     if dropout_at_test:
         key = jax.random.PRNGKey(seed)
         fwd = jax.jit(
@@ -46,6 +52,8 @@ def frame_predictions(
         )
     else:
         fwd = jax.jit(lambda p, x, l: model.apply(p, x, l, train=False))
+    if use_dp:
+        params = sharding.replicate(params)
 
     buckets: dict[int, list[int]] = defaultdict(list)
     for i, f in enumerate(features):
@@ -62,11 +70,17 @@ def frame_predictions(
                 f = np.asarray(features[vi], dtype=np.float32)
                 x[j, : len(f)] = f
                 lengths[j] = len(f)
+            orig_b = b
+            if use_dp:
+                x_d, l_d, orig_b = sharding.shard_eval(x, lengths)
+            else:
+                x_d, l_d = jnp.asarray(x), jnp.asarray(lengths)
             if dropout_at_test:
                 key, sub = jax.random.split(key)
-                out = fwd(params, jnp.asarray(x), jnp.asarray(lengths), sub)
+                out = fwd(params, x_d, l_d, sub)
             else:
-                out = fwd(params, jnp.asarray(x), jnp.asarray(lengths))
+                out = fwd(params, x_d, l_d)
+            out = out[:orig_b]
             preds = np.asarray(jnp.argmax(out, axis=-1))
             maxp = np.asarray(jnp.max(out, axis=-1))
             for j, vi in enumerate(chunk):

@@ -106,6 +106,7 @@ def run_scene_aggregation(
     bucket_multiple: int = 128,
     batch_size: int = 8,
     verbose: bool = True,
+    sharding=None,
 ) -> list[int]:
     """Returns the flat ordered label list: for each test video (bundle
     order), its scene's aggregated per-segment labels
@@ -114,6 +115,7 @@ def run_scene_aggregation(
         key: frame_predictions(
             mdef, params, dataset.features,
             bucket_multiple=bucket_multiple, batch_size=batch_size,
+            sharding=sharding,
         )
         for key, (mdef, params) in models.items()
     }

@@ -61,3 +61,29 @@ class DataParallel:
         for a in rest:
             out.append(jax.device_put(_pad(np.asarray(a), 0), self._batch_sharding))
         return tuple(out)
+
+    def shard_eval(self, x, lengths):
+        """Shard a forward-only (eval/inference) batch over 'data'.
+
+        Returns ``(x_sharded, lengths_sharded, original_b)`` — rows added to
+        reach a 'data' multiple are zero-feature/zero-length and must be
+        sliced off the output by the caller (``out[:original_b]``).  Frame
+        prediction is embarrassingly data-parallel, so this accelerates the
+        per-epoch dev pass and the inference drivers, not just the train
+        step (VERDICT r1 item 5)."""
+        x = np.asarray(x)
+        lengths = np.asarray(lengths)
+        b = x.shape[0]
+        pad = (self.n_data - b % self.n_data) % self.n_data
+        if pad:
+            x = np.concatenate(
+                [x, np.zeros((pad,) + x.shape[1:], x.dtype)], axis=0
+            )
+            lengths = np.concatenate(
+                [lengths, np.zeros((pad,), lengths.dtype)], axis=0
+            )
+        return (
+            jax.device_put(x, self._batch_sharding),
+            jax.device_put(lengths, self._batch_sharding),
+            b,
+        )

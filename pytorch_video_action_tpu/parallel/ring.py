@@ -115,8 +115,11 @@ def ring_attention(
     ((m, l, acc), _, _, _), _ = lax.scan(
         body, (init, k, v, key_mask), jnp.arange(n)
     )
-    # fully-masked query rows (padding): l==0 -> emit zeros, they are masked
-    # downstream exactly like the dense path's uniform-softmax rows times 0.
+    # fully-masked query rows (padding): every score is NEG_INF (finite), so
+    # m stays NEG_INF, p = exp(0) = 1 per key and l = T — the row comes out
+    # as a uniform average of v, exactly the dense path's all-masked softmax;
+    # it is discarded downstream.  The 1e-30 guard only covers genuine
+    # zero-length edge cases (t_loc == 0 blocks).
     return acc / jnp.maximum(l[..., None], 1e-30)
 
 
@@ -126,6 +129,8 @@ def ulysses_attention(
     v: jax.Array,
     key_mask: jax.Array | None = None,
     axis_name: str = "seq",
+    dropout_rate: float = 0.0,
+    rng=None,
 ) -> jax.Array:
     """Exact attention via head<->time all_to_all (DeepSpeed-Ulysses layout).
 
@@ -133,6 +138,11 @@ def ulysses_attention(
     After the first all_to_all each device holds ``[B, H/n, T, d]`` — full
     sequence, a slice of heads — so plain dense attention is exact; the
     second all_to_all restores time-sharding.
+
+    ``dropout_rate``/``rng``: train-mode post-softmax attention-matrix
+    dropout with exactly the dense path's semantics — each device holds its
+    FULL [B, H/n, T, T] probability matrix, so the dense dropout applies
+    directly; ``fold_in(axis_index)`` decorrelates masks across head groups.
     """
     n = lax.axis_size(axis_name)
     b, h_all, t_loc, d = q.shape
@@ -149,7 +159,12 @@ def ulysses_attention(
     if key_mask is not None:
         full_mask = lax.all_gather(key_mask, axis_name, axis=1, tiled=True)  # [B, T]
         s = jnp.where(full_mask[:, None, None, :], s, NEG_INF)
-    out = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), vh)
+    attn = jax.nn.softmax(s, axis=-1)
+    if dropout_rate > 0.0 and rng is not None:
+        keep = 1.0 - dropout_rate
+        rng = jax.random.fold_in(rng, lax.axis_index(axis_name))
+        attn = attn * jax.random.bernoulli(rng, keep, attn.shape) / keep
+    out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
     return to_time(out)
 
 
@@ -179,18 +194,17 @@ def sp_mha_self_attention(
     rng=None,
 ) -> jax.Array:
     """Sequence-parallel equivalent of ``mha_self_attention`` on a local
-    time block; returns the attended block ``[B, T_loc, E]``.  Attention
-    dropout (train mode) is supported on the ring implementation only."""
+    time block; returns the attended block ``[B, T_loc, E]``.  Both
+    implementations support train-mode attention-matrix dropout with dense
+    post-softmax semantics."""
     b, t_loc, e = x_loc.shape
     q, k, v = _qkv_blocks(p, x_loc, num_heads)
     if impl == "ring":
         out = ring_attention(q, k, v, key_mask_loc, axis_name=axis_name,
                              dropout_rate=dropout_rate, rng=rng)
     else:
-        assert dropout_rate == 0.0 or rng is None, (
-            "attention dropout is implemented for impl='ring' only"
-        )
-        out = ulysses_attention(q, k, v, key_mask_loc, axis_name=axis_name)
+        out = ulysses_attention(q, k, v, key_mask_loc, axis_name=axis_name,
+                                dropout_rate=dropout_rate, rng=rng)
     out = out.transpose(0, 2, 1, 3).reshape(b, t_loc, e)
     return out @ p["out_proj_w"] + p["out_proj_b"]
 

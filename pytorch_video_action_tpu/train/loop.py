@@ -196,17 +196,33 @@ def _forward_eval(model: ModelDef, params, model_state, x, lengths):
     return out
 
 
-def predict_batches(model: ModelDef, params, feed, model_state=None):
-    """Yield per-video (pred_frames, label_frames) pairs over a BatchFeed."""
+def predict_batches(model: ModelDef, params, feed, model_state=None,
+                    sharding=None):
+    """Yield per-video (pred_frames, label_frames) pairs over a BatchFeed.
+
+    ``sharding``: an object with ``shard_eval(x, lengths)`` +
+    ``replicate(tree)`` (``parallel.DataParallel``) — the forward then runs
+    with the batch axis sharded over the mesh (padded rows sliced off), so
+    the per-epoch dev pass rides the same devices as the train step.
+    SP-wrapped models shard internally (their ``apply`` pads B/T itself) and
+    need no ``sharding`` here.
+    """
     # the jitted eval forward lives ON the ModelDef (an id()-keyed dict would
     # hand a recycled id the previous model's compiled apply)
+    use_dp = sharding is not None and hasattr(sharding, "shard_eval") \
+        and not model.stateful
     fwd = getattr(model, "_eval_fwd", None)
     if fwd is None and not model.stateful:
         fwd = jax.jit(lambda p, x, l: model.apply(p, x, l, train=False))
         model._eval_fwd = fwd
+    if use_dp:
+        params = sharding.replicate(params)
     for x, lengths, targets, mask in feed:
         b, t = x.shape[0], x.shape[1]
-        if fwd is not None:
+        if use_dp:
+            x_d, l_d, orig_b = sharding.shard_eval(x, lengths)
+            out = np.asarray(fwd(params, x_d, l_d))[:orig_b]
+        elif fwd is not None:
             out = fwd(params, jnp.asarray(x), jnp.asarray(lengths))
         else:
             out = _forward_eval(model, params, model_state, x, lengths)
@@ -222,13 +238,16 @@ def predict_batches(model: ModelDef, params, feed, model_state=None):
                 yield preds[i : i + 1], tgt[i, :1]
 
 
-def evaluate(model: ModelDef, params, feed, model_state=None) -> tuple[float, float]:
+def evaluate(model: ModelDef, params, feed, model_state=None,
+             sharding=None) -> tuple[float, float]:
     """(segment_accuracy, frame_accuracy) in percent — reference ``evaluate``
     (``train.py:143-176``): frame argmax accuracy + per-ground-truth-segment
-    majority vote (bincount argmax, lowest index on ties)."""
+    majority vote (bincount argmax, lowest index on ties).  ``sharding``
+    data-parallelizes the forward (identical metrics, tested)."""
     correct_frame = total_frame = 0
     correct_segment = total_segment = 0
-    for pred, labels in predict_batches(model, params, feed, model_state):
+    for pred, labels in predict_batches(model, params, feed, model_state,
+                                        sharding=sharding):
         valid = labels != TARGET_PAD
         pred, labels = pred[valid], labels[valid]
         if labels.size == 0:

@@ -277,6 +277,39 @@ def test_ring_attention_dropout_semantics():
     np.testing.assert_array_equal(dropped, run(0.5, jax.random.PRNGKey(7)))
 
 
+def test_ulysses_attention_dropout_semantics():
+    """Ulysses dropout == dense post-softmax dropout per head group: rate->0
+    matches eval; rate>0 acts, stays finite, is key-deterministic."""
+    from pytorch_video_action_tpu.models.attention import init_mha
+    from pytorch_video_action_tpu.parallel.ring import sp_mha_self_attention
+    from pytorch_video_action_tpu.parallel import make_mesh
+
+    e, heads, b, t = 16, 4, 4, 32
+    rng = np.random.default_rng(6)
+    x = rng.normal(size=(b, t, e)).astype(np.float32)
+    mask = np.ones((b, t), dtype=bool)
+    p = init_mha(jax.random.PRNGKey(0), e)
+    mesh = make_mesh(data=2, seq=4)
+
+    def run(drop, key):
+        def local(p, x_loc, mask_loc):
+            return sp_mha_self_attention(
+                p, x_loc, heads, mask_loc, impl="ulysses",
+                dropout_rate=drop, rng=key,
+            )
+        return np.asarray(jax.shard_map(
+            local, mesh=mesh,
+            in_specs=(P(), P("data", "seq", None), P("data", "seq")),
+            out_specs=P("data", "seq", None),
+        )(p, jnp.asarray(x), jnp.asarray(mask)))
+
+    base = run(0.0, None)
+    dropped = run(0.5, jax.random.PRNGKey(9))
+    assert np.isfinite(dropped).all()
+    assert np.abs(dropped - base).max() > 1e-4  # dropout actually acted
+    np.testing.assert_array_equal(dropped, run(0.5, jax.random.PRNGKey(9)))
+
+
 def test_sp_eval_handles_indivisible_batches(synthetic_root, tmp_path,
                                              monkeypatch):
     """Eval bypasses shard_batch; the wrapped SP apply must pad batches whose
@@ -296,3 +329,42 @@ def test_sp_eval_handles_indivisible_batches(synthetic_root, tmp_path,
         "--bucket_multiple", "32",
     ])
     assert acc is not None and 0.0 <= acc <= 100.0
+
+
+def test_dp_eval_matches_single_device():
+    """VERDICT r1 item 5: the dev/eval forward sharded over the mesh must
+    reproduce single-device metrics bit-for-bit, including ragged batches
+    that don't divide the 'data' axis (padded rows are zero-length and
+    sliced off)."""
+    from pytorch_video_action_tpu.train.loop import evaluate
+
+    model = build_model(
+        "vanilla_lstm", N_CLASS, lstm_layer=1, lstm_hidden1=16,
+        lstm_dropout=0.0,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    feed = [_batch(3, 24, seed=1), _batch(5, 16, seed=2)]  # 3, 5 % 8 != 0
+    base = evaluate(model, params, feed)
+    dp = evaluate(model, params, feed, sharding=DataParallel(8))
+    assert base == dp, (base, dp)
+
+
+def test_dp_frame_predictions_match_single_device():
+    from pytorch_video_action_tpu.infer.predict import frame_predictions
+
+    model = build_model(
+        "vanilla_lstm", N_CLASS, lstm_layer=1, lstm_hidden1=16,
+        lstm_dropout=0.0,
+    )
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(3)
+    features = [
+        rng.normal(size=(t, 400)).astype(np.float32) for t in (19, 7, 23, 23, 11)
+    ]
+    base = frame_predictions(model, params, features, bucket_multiple=8,
+                             batch_size=3)
+    dp = frame_predictions(model, params, features, bucket_multiple=8,
+                           batch_size=3, sharding=DataParallel(8))
+    for (bp, bm), (dp_p, dp_m) in zip(base, dp):
+        np.testing.assert_array_equal(bp, dp_p)
+        np.testing.assert_array_equal(bm, dp_m)
