@@ -16,11 +16,12 @@
 #include <cstdint>
 #include <cstdlib>
 #include <cstring>
-#include <fstream>
 #include <sstream>
 #include <string>
 #include <unordered_map>
 #include <vector>
+
+#include <zlib.h>
 
 extern "C" {
 
@@ -141,8 +142,21 @@ double word_logprob(const ArpaModel* m, const int32_t* ctx, int ctx_len,
 }  // namespace
 
 void* pva_lm_load(const char* path) {
-  std::ifstream f(path);
-  if (!f.is_open()) return nullptr;
+  // gzopen reads BOTH gzip-compressed and plain files (zlib transparent
+  // mode), so .arpa and .arpa.gz load through one path — matching the
+  // Python scorer (lm/arpa.py) and kenlm, which both accept gzipped ARPA.
+  gzFile gz = gzopen(path, "rb");
+  if (gz == nullptr) return nullptr;
+  std::string content;
+  char buf[1 << 16];
+  int nread;
+  while ((nread = gzread(gz, buf, sizeof(buf))) > 0) {
+    content.append(buf, static_cast<size_t>(nread));
+  }
+  bool read_error = (nread < 0);
+  gzclose(gz);
+  if (read_error) return nullptr;
+  std::istringstream f(content);
   auto* m = new ArpaModel();
   std::string line;
   int section = 0;

@@ -94,10 +94,13 @@ def parse_arguments(argv=None):
     parser.add_argument('--cache_device', type=bool, nargs='?', const=True,
                         default=False,
                         help='Keep prepared batches resident in HBM across '
-                             'epochs (batch composition is frozen by the '
-                             'reference sampler; only the order reshuffles). '
-                             'Eliminates per-epoch host->device transfer; '
-                             'needs the dataset to fit in HBM')
+                             'epochs, keyed by batch composition (the sampler '
+                             'freezes composition like the reference, so every '
+                             'epoch after the first is a 100% cache hit). '
+                             'Pure performance flag: training is bit-identical '
+                             'with or without it (tested). Eliminates '
+                             'per-epoch host->device transfer; needs the '
+                             'dataset to fit in HBM')
     parser.add_argument('--metrics_jsonl', default=None,
                         help='Write structured per-epoch metrics (loss, dev '
                              'accuracies, frames/sec/chip) to this JSONL file')
@@ -135,18 +138,27 @@ def main(argv=None):
     class_info = train_dataset.get_class_info()
     n_class = len(class_info['class_names'])
 
+    # freeze_composition: the reference sampler builds its batch list once
+    # and yields it (order-shuffled) every epoch (data_utils.py:56-61) — the
+    # CLI keeps that literal behavior, which also makes --cache_device a pure
+    # performance flag (same batches either way; equality tested)
     sampler = BucketBatchSampler(
-        train_dataset.features, args.batchsize, seed=args.seed
+        train_dataset.features, args.batchsize, seed=args.seed,
+        freeze_composition=True,
     )
     train_feed = BatchFeed(
         train_dataset, batch_sampler=sampler,
         pred_mode=args.pred_mode, train_mode=args.train_mode,
         bucket_multiple=args.bucket_multiple,
     )
+    # eval feed: metrics are padding-invariant (tested), so keep a floor on
+    # the bucket multiple — at --bucket_multiple 1 a mixed-length dev set
+    # would compile one XLA program per distinct max length (compile storm);
+    # training keeps the exact flag value for parity
     dev_feed = BatchFeed(
         dev_dataset, batch_size=max(args.batchsize, 1),
         pred_mode=args.pred_mode, train_mode=args.train_mode,
-        bucket_multiple=args.bucket_multiple,
+        bucket_multiple=max(args.bucket_multiple, 32),
     )
 
     model = build_model(
@@ -188,7 +200,7 @@ def main(argv=None):
             ts.model_state = loaded_state
         print(f'Loaded pretrained model: {model_path}')
     if args.resume is not None and os.path.exists(args.resume):
-        bundle = ckpt.load_resume(args.resume)
+        bundle = ckpt.load_resume(args.resume, opt_state_like=ts.opt_state)
         ts.params, ts.opt_state = bundle['params'], bundle['opt_state']
         if bundle.get('model_state') is not None:
             ts.model_state = bundle['model_state']
@@ -209,7 +221,8 @@ def main(argv=None):
                 model_state=ts.model_state,
             )
         else:
-            dev_acc, frame_acc = evaluate(model, ts.params, dev_feed, ts.model_state)
+            dev_acc, frame_acc = evaluate(model, ts.params, dev_feed,
+                                          ts.model_state, sharding=sharding)
         print('Dev accuracy by frame: {:.3f}'.format(frame_acc))
         print('Dev accuracy by segment: {:.3f}'.format(dev_acc))
         return
@@ -243,13 +256,31 @@ def main(argv=None):
 
 def _train_loop(args, trainer, ts, train_feed, dev_feed, model,
                 stop_requested):
-    metrics = MetricsLogger(args.metrics_jsonl)
+    metrics = MetricsLogger(
+        args.metrics_jsonl,
+        resume=args.resume is not None and ts.epoch > 0,
+    )
     previous_dev = 0.0
     first_epoch = ts.epoch
-    cache_built = False
-    device_batches: list = []
-    frames_per_batch: list = []
-    epoch_rng = np.random.default_rng(args.seed + 1)
+    # composition-keyed HBM batch cache: the sampler drives order and
+    # composition EVERY epoch (identical to the uncached path — tested);
+    # with the frozen-composition sampler every epoch after the first is a
+    # pure cache hit => zero H2D traffic, no host collation
+    device_cache: dict = {}
+
+    def cached_iter():
+        for idxs in train_feed.index_batches():
+            key = tuple(idxs)
+            hit = device_cache.get(key)
+            if hit is None:
+                host_batch = train_feed.collate(idxs)
+                hit = (
+                    trainer.prepare_batch(host_batch),
+                    int(np.sum(host_batch[1])),
+                )
+                device_cache[key] = hit
+            yield hit
+
     for epoch in range(ts.epoch, args.epoch):
         ts.epoch = epoch
         trainer.start_epoch(ts)
@@ -259,19 +290,12 @@ def _train_loop(args, trainer, ts, train_feed, dev_feed, model,
         n_batches = 0
         print('Starting Epoch #{}, {} iterations'.format(
             epoch + 1, len(train_feed)))
-        if cache_built:
-            # device-resident epoch: reshuffle order only (the reference
-            # sampler semantics, data_utils.py:56-61) — zero H2D traffic
-            order = epoch_rng.permutation(len(device_batches))
-            batch_iter = ((device_batches[i], frames_per_batch[i]) for i in order)
+        if args.cache_device:
+            batch_iter = cached_iter()
         else:
             batch_iter = ((b, int(np.sum(b[1]))) for b in prefetch_iter(train_feed))
         with profile_trace(args.profile_dir if epoch == first_epoch else None):
             for batch, frames in batch_iter:
-                if args.cache_device and not cache_built:
-                    batch = trainer.prepare_batch(batch)
-                    device_batches.append(batch)
-                    frames_per_batch.append(frames)
                 loss = trainer.train_step(ts, batch)
                 timer.note(frames, loss)
                 running_loss += float(loss)
@@ -283,14 +307,14 @@ def _train_loop(args, trainer, ts, train_feed, dev_feed, model,
                     print(f"Saved resume bundle to {args.resume} "
                           f"(epoch {epoch}, {n_batches} batches)")
                     return previous_dev
-        if args.cache_device:
-            cache_built = True
         epoch_s = timer.elapsed()
         delta_time = (datetime.now() - start).seconds / 60.0
         print('[%d, %5d] Train loss: %.3f (%.3f mins)' % (
             epoch + 1, n_batches, running_loss / max(n_batches - 1, 1),
             delta_time))
-        dev_acc, frame_acc = evaluate(model, ts.params, dev_feed, ts.model_state)
+        dev_acc, frame_acc = evaluate(model, ts.params, dev_feed,
+                                      ts.model_state,
+                                      sharding=trainer.sharding)
         print('Dev accuracy by frame: {:.3f}'.format(frame_acc))
         print('Dev accuracy by segment: {:.3f} (Current best: {:.3f})'.format(
             dev_acc, previous_dev))

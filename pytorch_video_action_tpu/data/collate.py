@@ -101,7 +101,10 @@ class BatchFeed:
         self.shuffle = shuffle
         self._rng = np.random.default_rng(seed)
 
-    def _index_batches(self):
+    def index_batches(self):
+        """One epoch of index batches (sampler-driven order/composition) —
+        public so callers can key device-resident batch caches by
+        composition (``cli/train_cli.py --cache_device``)."""
         if self.batch_sampler is not None:
             yield from self.batch_sampler
         else:
@@ -111,16 +114,20 @@ class BatchFeed:
             for i in range(0, len(order), self.batch_size):
                 yield order[i : i + self.batch_size].tolist()
 
+    def collate(self, idxs):
+        """Collate one index batch to fixed-shape arrays."""
+        batch = [self.dataset[i] for i in idxs]
+        return pad_batch(
+            batch,
+            batchsize=len(idxs),
+            pred_mode=self.pred_mode,
+            train_mode=self.train_mode,
+            bucket_multiple=self.bucket_multiple,
+        )
+
     def __iter__(self):
-        for idxs in self._index_batches():
-            batch = [self.dataset[i] for i in idxs]
-            yield pad_batch(
-                batch,
-                batchsize=len(idxs),
-                pred_mode=self.pred_mode,
-                train_mode=self.train_mode,
-                bucket_multiple=self.bucket_multiple,
-            )
+        for idxs in self.index_batches():
+            yield self.collate(idxs)
 
     def __len__(self) -> int:
         if self.batch_sampler is not None:

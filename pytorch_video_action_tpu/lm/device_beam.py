@@ -181,4 +181,10 @@ def pack_candidates(
         nseg[i] = len(vid)
         for s, cs in enumerate(vid):
             cand[i, s, : len(cs)] = cs
+    # ids must index the dense [V, V, V] trigram table built over n_labels
+    if cand.max(initial=-1) >= n_labels or cand[cand != -1].min(initial=0) < 0:
+        raise ValueError(
+            f"candidate label id out of range [0, {n_labels}) for the dense "
+            f"trigram table: max={cand.max()}"
+        )
     return cand, nseg

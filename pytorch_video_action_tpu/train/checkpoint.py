@@ -12,9 +12,8 @@ support full resume bundles (params + opt state + epoch) via ``save_resume``.
 
 from __future__ import annotations
 
-import io
+import json
 import os
-import pickle
 
 import jax
 import jax.numpy as jnp
@@ -101,23 +100,68 @@ def load_params(path: str, with_state: bool = False):
 def save_resume(path: str, params, opt_state, epoch: int,
                 extra: dict | None = None, model_state=None):
     """Full resumable bundle (params + optimizer state + progress) — a
-    capability the reference lacks (its Adam restarts on resume)."""
+    capability the reference lacks (its Adam restarts on resume).
+
+    Format: one ``.npz`` (version-stable arrays, no pickled Python objects).
+    Params/model_state flatten by pytree path; the optimizer state — an
+    optax structure of namedtuples — is stored as ordered leaves and
+    restored against a freshly initialized template (``opt_state_like``)."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    payload = {
-        "params": jax.device_get(params),
-        "opt_state": jax.device_get(opt_state),
-        "epoch": epoch,
-        "extra": extra or {},
-        "model_state": (
-            jax.device_get(model_state) if model_state is not None else None
-        ),
+    flat = {
+        f"params/{k}": v for k, v in _flatten(jax.device_get(params)).items()
     }
-    buf = io.BytesIO()
-    pickle.dump(payload, buf)
-    with open(path, "wb") as f:
-        f.write(buf.getvalue())
+    if model_state is not None:
+        flat.update({
+            f"model_state/{k}": v
+            for k, v in _flatten(jax.device_get(model_state)).items()
+        })
+    opt_leaves = jax.tree_util.tree_leaves(jax.device_get(opt_state))
+    for i, leaf in enumerate(opt_leaves):
+        flat[f"opt/{i:05d}"] = np.asarray(leaf)
+    flat["epoch"] = np.asarray(epoch, dtype=np.int64)
+    if extra:
+        flat["extra_json"] = np.frombuffer(
+            json.dumps(extra).encode(), dtype=np.uint8
+        )
+    with open(path, "wb") as f:  # file object: savez won't append '.npz'
+        np.savez(f, **flat)
 
 
-def load_resume(path: str):
-    with open(path, "rb") as f:
-        return pickle.load(f)
+def load_resume(path: str, opt_state_like=None):
+    """Load a resume bundle.  ``opt_state_like`` (a freshly initialized
+    optimizer state of the same optimizer) supplies the pytree structure the
+    stored optimizer leaves are unflattened into; without it ``opt_state``
+    is returned as the raw leaf list."""
+    with np.load(path, allow_pickle=False) as z:
+        flat = {k: z[k] for k in z.files}
+    params = _unflatten({
+        k[len("params/"):]: v for k, v in flat.items()
+        if k.startswith("params/")
+    })
+    state_flat = {
+        k[len("model_state/"):]: v for k, v in flat.items()
+        if k.startswith("model_state/")
+    }
+    opt_leaves = [
+        jnp.asarray(flat[k]) for k in sorted(flat) if k.startswith("opt/")
+    ]
+    if opt_state_like is not None:
+        treedef = jax.tree_util.tree_structure(opt_state_like)
+        assert treedef.num_leaves == len(opt_leaves), (
+            f"optimizer state mismatch: bundle has {len(opt_leaves)} leaves, "
+            f"template expects {treedef.num_leaves} (different optimizer?)"
+        )
+        opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
+    else:
+        opt_state = opt_leaves
+    extra = (
+        json.loads(bytes(flat["extra_json"]).decode())
+        if "extra_json" in flat else {}
+    )
+    return {
+        "params": params,
+        "opt_state": opt_state,
+        "epoch": int(flat["epoch"]),
+        "extra": extra,
+        "model_state": _unflatten(state_flat) if state_flat else None,
+    }

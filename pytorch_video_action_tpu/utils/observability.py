@@ -36,15 +36,20 @@ class MetricsLogger:
     become cheap no-ops) so call sites need no conditionals.
     """
 
-    def __init__(self, path: str | None):
+    def __init__(self, path: str | None, resume: bool = False):
+        """``resume=True`` appends to an existing file (preempted run
+        restarted with ``--resume``) instead of truncating it — previously
+        logged epochs survive; a ``run_start`` record marks the boundary."""
         self.path = path
         if path:
             d = os.path.dirname(path)
             if d:
                 os.makedirs(d, exist_ok=True)
-            # truncate: one file per run, like the reference's fresh stdout
-            with open(path, "w"):
-                pass
+            if not resume:
+                # truncate: one file per fresh run
+                with open(path, "w"):
+                    pass
+            self.log("run_start", resumed=bool(resume))
 
     def log(self, event: str, **fields: Any) -> None:
         if not self.path:

@@ -74,3 +74,25 @@ def test_native_arpa_matches_python(tmp_path):
     assert cc.available
     for sent in ["1 2 3", "1 2 3 4", "4 3 2", "2 2 2", "1 99", "3", ""]:
         assert abs(py.score(sent) - cc.score(sent)) < 1e-4, sent
+
+
+def test_native_arpa_reads_gzip(tmp_path):
+    """The native loader accepts gzipped ARPA like the Python scorer and
+    kenlm do (zlib transparent mode covers plain files through the same
+    path) — closes the round-1 'three interchangeable scorers' seam."""
+    from pytorch_video_action_tpu.lm.arpa import ArpaLanguageModel
+    from pytorch_video_action_tpu.lm.native import NativeArpaModel
+    from pytorch_video_action_tpu.lm.train_arpa import train_arpa
+
+    corpus = ["1 2 3", "1 2 4", "2 3 4", "4 3 2", "1 3"]
+    plain = str(tmp_path / "lm.arpa")
+    train_arpa(corpus, plain, order=3)
+    gz_path = str(tmp_path / "lm.arpa.gz")
+    with open(plain, "rb") as f, gzip.open(gz_path, "wb") as g:
+        g.write(f.read())
+
+    py = ArpaLanguageModel(gz_path)
+    cc = NativeArpaModel(gz_path)
+    assert cc.available
+    for sent in ["1 2 3", "4 3 2", "2 2 2", ""]:
+        assert abs(py.score(sent) - cc.score(sent)) < 1e-4, sent

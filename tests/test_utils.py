@@ -61,12 +61,19 @@ def test_metrics_logger_disabled_and_enabled(tmp_path):
     m.epoch(1, 0.5, 90.0, 85.0, 1e-3, 2.0, 1000)
     m.log("custom", foo="bar")
     records = [json.loads(l) for l in open(path)]
-    assert records[0]["event"] == "epoch"
-    assert records[0]["frames_per_sec"] == 500.0
-    assert records[1] == {**records[1], "event": "custom", "foo": "bar"}
-    # a fresh logger truncates (one file per run)
+    assert records[0]["event"] == "run_start" and not records[0]["resumed"]
+    assert records[1]["event"] == "epoch"
+    assert records[1]["frames_per_sec"] == 500.0
+    assert records[2] == {**records[2], "event": "custom", "foo": "bar"}
+    # a fresh logger truncates (one file per run)...
     MetricsLogger(path)
-    assert open(path).read() == ""
+    assert [json.loads(l)["event"] for l in open(path)] == ["run_start"]
+    # ...but a RESUMED logger appends, preserving prior epochs (ADVICE r1)
+    m2 = MetricsLogger(path, resume=True)
+    m2.log("more")
+    events = [json.loads(l)["event"] for l in open(path)]
+    assert events == ["run_start", "run_start", "more"]
+    assert json.loads(open(path).readlines()[1])["resumed"] is True
 
 
 def test_profile_trace_noop_without_dir():
