@@ -53,13 +53,19 @@ def dilated_residual_layer(
 ) -> jax.Array:
     """Reference ``DilatedResidualLayer`` (``networks.py:336-347``):
     relu(dilated conv) -> 1x1 conv -> dropout -> residual -> frame mask."""
-    # the fused kernel covers every case except active dropout (train time);
-    # it carries a custom VJP (recompute via the XLA path) so it is safe
+    # the fused kernel covers eval AND train-with-dropout (in-kernel hash
+    # keep-mask, seeded per video from this layer's rng); it carries a
+    # custom VJP (recompute via the XLA path, same mask) so it is safe
     # under jax.grad.
-    if use_pallas and (not train or dropout_rate == 0.0 or rng is None):
+    if use_pallas:
         from .conv_pallas import fused_dilated_residual
 
-        out = fused_dilated_residual(layer, x, mask, dilation)
+        drop = dropout_rate if (train and rng is not None) else 0.0
+        seeds = (
+            jax.random.bits(rng, (x.shape[0],), jnp.uint32) if drop > 0.0 else None
+        )
+        out = fused_dilated_residual(layer, x, mask, dilation,
+                                     dropout_rate=drop, seeds=seeds)
         if out is not None:
             return out
     out = jax.nn.relu(conv1d(layer["conv_dilated"], x, dilation))

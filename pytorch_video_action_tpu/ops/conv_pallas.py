@@ -14,18 +14,24 @@ whole activation in VMEM and does the entire layer in a single pass:
   shift to the *result* with static slices — no halo logic, any dilation
   (MS-TCN uses d = 2^0..2^19, routinely >= T, where the tap contributes
   zeros and is skipped at trace time).
-* relu, the 1x1 conv matmul, bias adds, residual add and frame masking all
-  happen on the VMEM-resident block before one single write back to HBM.
+* relu, the 1x1 conv matmul, bias adds, dropout, residual add and frame
+  masking all happen on the VMEM-resident block before one single write
+  back to HBM.
+
+Training dropout runs **inside the kernel**: the keep-mask is a
+counter-based hash (murmur3 fmix32 over the element index, folded with a
+per-(video, layer) seed derived from the JAX PRNG key on the host).  Plain
+integer VPU ops — unlike ``pltpu.prng_random_bits`` the stream is bitwise
+reproducible in interpret mode on CPU *and* regenerable by the XLA backward,
+so the custom VJP recomputes the forward (including the identical mask)
+through ``_xla_layer`` without materializing the mask in HBM.
 
 Grid: one program per batch element (MS-TCN trains whole videos; T is the
-padded bucket length).  VMEM footprint ~= (T*C) * 3 floats + 4 C*C weight
-tiles — C=64, T<=8k => ~6 MB, within the ~16 MB budget; larger T falls back
+padded bucket length).  VMEM footprint ~= (T*C) * 6 floats + 4 C*C weight
+tiles — C=64, T<=8k => ~7 MB, within the ~16 MB budget; larger T falls back
 to XLA (``supported`` check).
 
-Training: ``fused_dilated_residual`` is wrapped in ``jax.custom_vjp`` —
-forward runs this kernel, backward recomputes through the XLA reference
-implementation's VJP (the layer is cheap to recompute and the backward then
-fuses under XLA as before).  Numerics vs. the XLA path are tested in
+Numerics vs. the XLA path (eval + train-with-dropout) are tested in
 ``tests/test_pallas_kernels.py`` (interpret mode on CPU).
 """
 
@@ -35,15 +41,42 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below ~16 MB/core
 
 
-def _xla_layer(w_d, b_d, w_p, b_p, x, mask, dilation):
-    """Reference XLA implementation (no dropout: kernel path is used with
-    dropout folded outside or in eval)."""
+def _threshold(keep: float) -> int:
+    """uint32 compare threshold such that P(hash < threshold) == keep."""
+    return min(0xFFFFFFFF, int(round(keep * 2.0 ** 32)))
+
+
+def _keep_mask(seed_u32, t: int, c: int, threshold: int):
+    """[t, c] bool keep-mask from a scalar uint32 seed.
+
+    murmur3 fmix32 finalizer over ``index + seed * golden`` — full avalanche,
+    constant shifts only (Mosaic-friendly), identical bits under XLA and
+    Pallas (used by both the kernel forward and the XLA recompute backward).
+    """
+    idx = (
+        lax.broadcasted_iota(jnp.uint32, (t, c), 0) * jnp.uint32(c)
+        + lax.broadcasted_iota(jnp.uint32, (t, c), 1)
+    )
+    h = idx + seed_u32 * jnp.uint32(0x9E3779B9)
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h < jnp.uint32(threshold)
+
+
+def _xla_layer(w_d, b_d, w_p, b_p, x, mask, seeds, dilation, keep):
+    """Reference XLA implementation; with ``keep < 1`` applies the same
+    hash-dropout the kernel uses (``seeds``: [B] uint32).  Serves as the
+    custom-VJP recompute backward and the equivalence oracle in tests."""
     pad = dilation
     out = jax.lax.conv_general_dilated(
         x, w_d, window_strides=(1,), padding=[(pad, pad)],
@@ -54,13 +87,17 @@ def _xla_layer(w_d, b_d, w_p, b_p, x, mask, dilation):
         out, w_p, window_strides=(1,), padding=[(0, 0)],
         dimension_numbers=("NWC", "WIO", "NWC"),
     ) + b_p
+    if keep is not None and keep < 1.0:
+        _, t, c = out.shape
+        km = jax.vmap(lambda s: _keep_mask(s, t, c, _threshold(keep)))(seeds)
+        out = jnp.where(km, out * (1.0 / keep), jnp.zeros((), out.dtype))
     return (x + out) * mask
 
 
-def _kernel(x_ref, mask_ref, w0_ref, w1_ref, w2_ref, bd_ref, wp_ref, bp_ref,
-            out_ref, *, dilation: int):
+def _kernel(x_ref, mask_ref, seed_ref, w0_ref, w1_ref, w2_ref, bd_ref,
+            wp_ref, bp_ref, out_ref, *, dilation: int, keep: float):
     x = x_ref[0]          # [T, C]
-    t = x.shape[0]
+    t, c = x.shape
     d = dilation
     # center tap + bias
     g = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
@@ -75,67 +112,95 @@ def _kernel(x_ref, mask_ref, w0_ref, w1_ref, w2_ref, bd_ref, wp_ref, bp_ref,
     h = jnp.maximum(g, 0.0)
     out = jnp.dot(h, wp_ref[...], preferred_element_type=jnp.float32)
     out += bp_ref[...]
-    out_ref[0] = (x + out) * mask_ref[0]
+    if keep < 1.0:
+        km = _keep_mask(seed_ref[pl.program_id(0)], t, c, _threshold(keep))
+        out = jnp.where(km, out * (1.0 / keep), 0.0)
+    out_ref[0] = ((x + out) * mask_ref[0]).astype(out_ref.dtype)
 
 
 def supported(b: int, t: int, c: int, dtype_bytes: int = 4) -> bool:
-    # x, g/h, out resident + shifted tap temporaries
-    return (5 * t * c + 4 * c * c) * dtype_bytes <= _VMEM_BUDGET
+    # x, g/h, out resident + shifted-tap temporaries (dtype-sized) plus the
+    # uint32 hash words for the dropout mask (always 4 bytes)
+    return (5 * t * c + 4 * c * c) * dtype_bytes + 4 * t * c <= _VMEM_BUDGET
 
 
-@functools.partial(jax.jit, static_argnames=("dilation", "interpret"))
-def _fused_call(w_d, b_d, w_p, b_p, x, mask, dilation, interpret=False):
+@functools.partial(jax.jit, static_argnames=("dilation", "keep", "interpret"))
+def _fused_call(w_d, b_d, w_p, b_p, x, mask, seeds_f32, dilation, keep,
+                interpret=False):
     b, t, c = x.shape
     w0, w1, w2 = w_d[0], w_d[1], w_d[2]
     wp = w_p[0]
+    # seeds ride through the custom_vjp boundary bitcast to f32 (so their
+    # cotangent is an ordinary zeros array); the kernel wants the raw bits
+    seeds = lax.bitcast_convert_type(seeds_f32, jnp.uint32)
     grid = (b,)
     blk = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
     mblk = pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    # whole [B] seeds array in SMEM (TPU lowering rejects rank-1 blocked
+    # specs that don't tile by 128); the kernel indexes it by program id
+    sblk = pl.BlockSpec(memory_space=pltpu.SMEM)
     wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
     return pl.pallas_call(
-        functools.partial(_kernel, dilation=dilation),
+        functools.partial(_kernel, dilation=dilation, keep=keep),
         grid=grid,
-        in_specs=[blk, mblk, wspec, wspec, wspec, wspec, wspec, wspec],
+        in_specs=[blk, mblk, sblk, wspec, wspec, wspec, wspec, wspec, wspec],
         out_specs=blk,
         out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
         interpret=interpret,
-    )(x, mask, w0, w1, w2, b_d, wp, b_p)
+    )(x, mask, seeds, w0, w1, w2, b_d, wp, b_p)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _fused(w_d, b_d, w_p, b_p, x, mask, dilation, interpret):
-    return _fused_call(w_d, b_d, w_p, b_p, x, mask, dilation,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _fused(w_d, b_d, w_p, b_p, x, mask, seeds_f32, dilation, keep, interpret):
+    return _fused_call(w_d, b_d, w_p, b_p, x, mask, seeds_f32, dilation, keep,
                        interpret=interpret)
 
 
-def _fused_fwd(w_d, b_d, w_p, b_p, x, mask, dilation, interpret):
-    out = _fused(w_d, b_d, w_p, b_p, x, mask, dilation, interpret)
-    return out, (w_d, b_d, w_p, b_p, x, mask)
+def _fused_fwd(w_d, b_d, w_p, b_p, x, mask, seeds_f32, dilation, keep,
+               interpret):
+    out = _fused(w_d, b_d, w_p, b_p, x, mask, seeds_f32, dilation, keep,
+                 interpret)
+    return out, (w_d, b_d, w_p, b_p, x, mask, seeds_f32)
 
 
-def _fused_bwd(dilation, interpret, res, dout):
-    w_d, b_d, w_p, b_p, x, mask = res
+def _fused_bwd(dilation, keep, interpret, res, dout):
+    w_d, b_d, w_p, b_p, x, mask, seeds_f32 = res
+    seeds = lax.bitcast_convert_type(seeds_f32, jnp.uint32)
     _, vjp = jax.vjp(
-        lambda *a: _xla_layer(*a, dilation=dilation),
+        lambda *a: _xla_layer(*a, seeds=seeds, dilation=dilation, keep=keep),
         w_d, b_d, w_p, b_p, x, mask,
     )
-    return vjp(dout)
+    return vjp(dout) + (jnp.zeros_like(seeds_f32),)
 
 
 _fused.defvjp(_fused_fwd, _fused_bwd)
 
 
 def fused_dilated_residual(layer: dict, x, mask, dilation: int,
+                           dropout_rate: float = 0.0, seeds=None,
                            interpret: bool | None = None):
     """Fused MS-TCN residual layer; returns None when shapes exceed the VMEM
-    budget (caller falls back to the XLA path).  ``interpret`` defaults to
-    auto: native on TPU, interpreter elsewhere (same convention as
-    ``rnn_pallas.gru_scan``)."""
+    budget (caller falls back to the XLA path).
+
+    ``dropout_rate > 0`` requires ``seeds`` ([B] uint32, one per video —
+    derive from the layer's PRNG key on the host); the keep-mask is
+    generated in-kernel and regenerated bit-identically by the XLA
+    recompute backward.  ``interpret`` defaults to auto: native on TPU,
+    interpreter elsewhere (same convention as ``rnn_pallas.gru_scan``)."""
     b, t, c = x.shape
-    if layer["conv_dilated"]["w"].shape[0] != 3 or not supported(b, t, c):
+    dtype_bytes = jnp.dtype(x.dtype).itemsize
+    if layer["conv_dilated"]["w"].shape[0] != 3 or not supported(b, t, c, dtype_bytes):
         return None
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
+    keep = 1.0 - float(dropout_rate)
+    if keep < 1.0:
+        if seeds is None:
+            raise ValueError("dropout_rate > 0 requires per-video seeds")
+        seeds_f32 = lax.bitcast_convert_type(
+            jnp.asarray(seeds, jnp.uint32), jnp.float32)
+    else:
+        seeds_f32 = jnp.zeros((b,), jnp.float32)
     # every dilation >= T yields the identical zero-tap kernel — collapse
     # them onto one compile-cache key (MS-TCN has up to 20 dilation levels,
     # most of them >= T; this avoids ~a dozen redundant Mosaic compiles)
@@ -146,5 +211,20 @@ def fused_dilated_residual(layer: dict, x, mask, dilation: int,
     return _fused(
         layer["conv_dilated"]["w"], layer["conv_dilated"]["b"],
         layer["conv_1x1"]["w"], layer["conv_1x1"]["b"],
-        x, jnp.asarray(mask, x.dtype), dilation, interpret,
+        x, jnp.asarray(mask, x.dtype), seeds_f32, dilation, keep, interpret,
+    )
+
+
+def hash_dropout_reference(layer: dict, x, mask, dilation: int,
+                           dropout_rate: float, seeds):
+    """Pure-XLA layer with the kernel's hash-dropout semantics (test oracle
+    for the in-kernel mask; also the exact function the backward recomputes
+    through)."""
+    if mask.ndim == 2:
+        mask = mask[:, :, None]
+    return _xla_layer(
+        layer["conv_dilated"]["w"], layer["conv_dilated"]["b"],
+        layer["conv_1x1"]["w"], layer["conv_1x1"]["b"],
+        x, jnp.asarray(mask, x.dtype), jnp.asarray(seeds, jnp.uint32),
+        dilation, 1.0 - float(dropout_rate),
     )

@@ -220,3 +220,165 @@ def test_mstcn_pallas_model_matches_xla():
     out_x = np.asarray(mstcn.apply(params, cfg_x, x, lengths, train=False))
     out_p = np.asarray(mstcn.apply(params, cfg_p, x, lengths, train=False))
     np.testing.assert_allclose(out_p, out_x, atol=3e-5, rtol=1e-4)
+
+
+# ===================================================== in-kernel hash dropout
+
+
+def test_fused_dropout_matches_hash_reference():
+    """Kernel train-mode dropout == the XLA hash-dropout oracle (same seeds):
+    the backward recomputes through exactly this function, so forward/backward
+    see the identical mask."""
+    from pytorch_video_action_tpu.ops.conv_pallas import (
+        fused_dilated_residual, hash_dropout_reference)
+
+    layer = _conv_layer(3)
+    x, mask = _conv_inputs(3)
+    seeds = jnp.asarray([17, 4242], jnp.uint32)
+    got = fused_dilated_residual(layer, x, mask, 4, dropout_rate=0.5,
+                                 seeds=seeds)
+    assert got is not None
+    expect = hash_dropout_reference(layer, x, mask, 4, 0.5, seeds)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=3e-5, rtol=1e-4)
+
+
+def test_fused_dropout_mask_statistics():
+    """Kernel applies exactly the hash keep-mask; the mask keeps ~keep
+    fraction and is decorrelated across videos (distinct seeds)."""
+    from pytorch_video_action_tpu.ops.conv_pallas import (
+        _keep_mask, _threshold, fused_dilated_residual,
+        hash_dropout_reference)
+
+    keep = 0.5
+    layer = _conv_layer(4)
+    b, t, c = 2, 256, 64
+    rng = np.random.default_rng(4)
+    x = jnp.asarray(rng.normal(size=(b, t, c)).astype(np.float32))
+    mask = jnp.ones((b, t, 1), jnp.float32)
+    seeds = jnp.asarray([1, 2], jnp.uint32)
+    dropped = np.asarray(
+        fused_dilated_residual(layer, x, mask, 2, dropout_rate=1 - keep,
+                               seeds=seeds))
+    clean = np.asarray(hash_dropout_reference(layer, x, mask, 2, 0.0, seeds))
+    pre = clean - np.asarray(x)          # conv branch without dropout
+    post = dropped - np.asarray(x)       # conv branch with dropout
+    km = np.asarray(jax.vmap(
+        lambda s: _keep_mask(s, t, c, _threshold(keep)))(seeds))
+    np.testing.assert_allclose(post, np.where(km, pre / keep, 0.0),
+                               atol=5e-5, rtol=1e-4)
+    np.testing.assert_allclose(km.mean(axis=(1, 2)), keep, atol=0.05)
+    # distinct seeds -> distinct masks
+    assert 0.3 < (km[0] != km[1]).mean() < 0.7
+
+
+def test_fused_dropout_grads_match_hash_reference():
+    """Custom-VJP backward (XLA recompute with regenerated mask) == autodiff
+    through the hash oracle, dropout ON."""
+    from pytorch_video_action_tpu.ops.conv_pallas import (
+        fused_dilated_residual, hash_dropout_reference)
+
+    layer = _conv_layer(5)
+    x, mask = _conv_inputs(5)
+    seeds = jnp.asarray([7, 9], jnp.uint32)
+
+    def loss_pallas(layer, x):
+        return jnp.sum(
+            fused_dilated_residual(layer, x, mask, 4, dropout_rate=0.5,
+                                   seeds=seeds) ** 2)
+
+    def loss_xla(layer, x):
+        return jnp.sum(
+            hash_dropout_reference(layer, x, mask, 4, 0.5, seeds) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(layer, x)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(layer, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp), jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=5e-5, rtol=1e-4)
+
+
+def test_fused_bf16_eval_matches_xla():
+    """bf16 inputs lower (store casts to out dtype) and match the XLA path at
+    bf16 tolerance."""
+    from pytorch_video_action_tpu.ops.conv import dilated_residual_layer
+    from pytorch_video_action_tpu.ops.conv_pallas import fused_dilated_residual
+
+    layer = _conv_layer(6)
+    layer = jax.tree.map(lambda a: a.astype(jnp.bfloat16), layer)
+    x, mask = _conv_inputs(6)
+    x = x.astype(jnp.bfloat16)
+    got = fused_dilated_residual(layer, x, mask.astype(jnp.bfloat16), 4)
+    assert got is not None and got.dtype == jnp.bfloat16
+    expect = dilated_residual_layer(layer, x, mask.astype(jnp.bfloat16),
+                                    dilation=4, train=False)
+    np.testing.assert_allclose(
+        np.asarray(got, np.float32), np.asarray(expect, np.float32),
+        atol=0.05, rtol=0.05)
+
+
+def test_mstcn_pallas_trains_with_dropout():
+    """use_pallas is live in the real training config (dropout 0.5): the
+    fused kernel handles the train step end-to-end with finite grads, and
+    dropout is actually active (train forward != eval forward)."""
+    from pytorch_video_action_tpu.models import mstcn
+
+    cfg = mstcn.MSTCNConfig(dim=16, num_stages=2, num_layers=5, num_f_maps=64,
+                            n_class=5, dropout_rate=0.5, use_pallas=True)
+    params = mstcn.init(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 40, 16)).astype(np.float32))
+    lengths = jnp.asarray(np.array([40, 23], np.int32))
+
+    def loss(p, key):
+        out = mstcn.apply(p, cfg, x, lengths, train=True, rng=key)
+        return jnp.mean(out ** 2)
+
+    k = jax.random.PRNGKey(1)
+    l1, grads = jax.value_and_grad(loss)(params, k)
+    assert np.isfinite(float(l1))
+    assert all(np.all(np.isfinite(np.asarray(g)))
+               for g in jax.tree_util.tree_leaves(grads))
+    out_train = mstcn.apply(params, cfg, x, lengths, train=True, rng=k)
+    out_eval = mstcn.apply(params, cfg, x, lengths, train=False)
+    assert not np.allclose(np.asarray(out_train), np.asarray(out_eval))
+    # reproducible: same key -> same masks -> same loss
+    assert float(loss(params, k)) == float(l1)
+
+
+# ========================================================== bf16 gates opt-in
+
+
+def test_gru_bf16_gates_close_to_f32():
+    """PVA_RNN_BF16_GATES=1: gate transcendentals in bf16, carry/matmuls f32.
+    Output stays within bf16-nonlinearity tolerance of the f32 path and the
+    recurrence does not drift over T (f32-carry guarantee); grads stay close
+    and finite."""
+    import pytorch_video_action_tpu.ops.rnn_pallas as rp
+
+    xg, wh, bh, mask = _inputs(9)
+    expect = np.asarray(rp.gru_scan(xg, wh, bh, mask))
+    old = rp._BF16_GATES
+    rp._BF16_GATES = True
+    try:
+        got = rp.gru_scan(xg, wh, bh, mask)
+        assert got is not None
+        # per-gate bf16 rounding is ~4e-3 relative; the f32 carry mix keeps
+        # late-T error in the same band as early-T (no compounding blowup)
+        err = np.abs(np.asarray(got) - expect)
+        assert err.max() < 0.05
+        assert err[T // 2:].max() < 2 * max(err[: T // 2].max(), 1e-3)
+
+        def loss(xg, wh, bh):
+            return jnp.sum(rp.gru_scan(xg, wh, bh, mask) ** 2)
+
+        grads = jax.grad(loss, argnums=(0, 1, 2))(xg, wh, bh)
+    finally:
+        rp._BF16_GATES = old
+    gx = jax.grad(lambda a, b, c: jnp.sum(rp.gru_scan(a, b, c, mask) ** 2),
+                  argnums=(0, 1, 2))(xg, wh, bh)
+    for a, b in zip(grads, gx):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.all(np.isfinite(a))
+        denom = max(np.abs(b).max(), 1e-3)
+        assert np.abs(a - b).max() / denom < 0.05
