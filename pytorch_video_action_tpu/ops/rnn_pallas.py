@@ -62,8 +62,28 @@ def _supported(t: int, b: int, w: int, gw: int) -> bool:
     )
 
 
+# PVA_RNN_BF16_GATES=1 evaluates the gate transcendentals in bfloat16
+# (pre-activations cast down, sigmoid/tanh in bf16, result cast back up).
+# The carry/cell mix and every matmul accumulator stay f32 — only the
+# nonlinearity inputs/outputs lose mantissa.  Opt-in: the accuracy cost is
+# per-gate ~3e-3 absolute; measured throughput is recorded in
+# docs/PERF_NOTES.md and decides the default.
+_BF16_GATES = _os.environ.get("PVA_RNN_BF16_GATES") == "1"
+
+
 def _sigmoid(x):
+    if _BF16_GATES:
+        # spelled out: Mosaic rejects jax.nn.sigmoid's lowering on bf16
+        # vectors (f32 scalar broadcast into a bf16 vector); exp is fine
+        xb = x.astype(jnp.bfloat16)
+        return (1.0 / (1.0 + jnp.exp(-xb))).astype(jnp.float32)
     return jax.nn.sigmoid(x)
+
+
+def _tanh(x):
+    if _BF16_GATES:
+        return jnp.tanh(x.astype(jnp.bfloat16)).astype(jnp.float32)
+    return jnp.tanh(x)
 
 
 # ------------------------------------------------------------------ forward
@@ -86,7 +106,7 @@ def _gru_fwd_kernel(xg_ref, wh_ref, bh_ref, ys_ref, h_ref):
         ) + bh_ref[0]
         r = _sigmoid(g_x[:, :w] + hg[:, :w])
         z = _sigmoid(g_x[:, w : 2 * w] + hg[:, w : 2 * w])
-        n = jnp.tanh(g_x[:, 2 * w :] + r * hg[:, 2 * w :])
+        n = _tanh(g_x[:, 2 * w :] + r * hg[:, 2 * w :])
         hn = (1.0 - z) * n + z * h
         h_ref[:] = hn
         ys_ref[t] = hn.astype(ys_ref.dtype)
@@ -142,7 +162,7 @@ def _gru_fwd_save_kernel(xg_ref, wh_ref, bh_ref, ys_ref, res_ref, h_ref):
         r = _sigmoid(g_x[:, :w] + hg[:, :w])
         z = _sigmoid(g_x[:, w : 2 * w] + hg[:, w : 2 * w])
         hg_n = hg[:, 2 * w :]
-        n = jnp.tanh(g_x[:, 2 * w :] + r * hg_n)
+        n = _tanh(g_x[:, 2 * w :] + r * hg_n)
         hn = (1.0 - z) * n + z * h
         h_ref[:] = hn
         ys_ref[t] = hn.astype(ys_ref.dtype)
@@ -282,7 +302,7 @@ def _gru_bwd_kernel(
         hg = jnp.dot(hp, wh_ref[:], preferred_element_type=jnp.float32) + bh_ref[0]
         r = _sigmoid(g_x[:, :w] + hg[:, :w])
         z = _sigmoid(g_x[:, w : 2 * w] + hg[:, w : 2 * w])
-        n = jnp.tanh(g_x[:, 2 * w :] + r * hg[:, 2 * w :])
+        n = _tanh(g_x[:, 2 * w :] + r * hg[:, 2 * w :])
         # dL/dh_t = upstream dy_t + carry from step t+1
         dh = dy + dh_ref[:]
         dz = dh * (hp - n)
@@ -416,10 +436,10 @@ def _lstm_fwd_kernel(xg_ref, wh_ref, ys_ref, cs_ref, h_ref, c_ref):
         )
         ii = _sigmoid(gates[:, :w])
         f = _sigmoid(gates[:, w : 2 * w])
-        g = jnp.tanh(gates[:, 2 * w : 3 * w])
+        g = _tanh(gates[:, 2 * w : 3 * w])
         o = _sigmoid(gates[:, 3 * w :])
         c = f * c_ref[:] + ii * g
-        hn = o * jnp.tanh(c)
+        hn = o * _tanh(c)
         h_ref[:] = hn
         c_ref[:] = c
         ys_ref[t] = hn.astype(ys_ref.dtype)
@@ -477,10 +497,10 @@ def _lstm_fwd_save_kernel(xg_ref, wh_ref, ys_ref, cs_ref, res_ref, h_ref, c_ref)
         )
         ii = _sigmoid(gates[:, :w])
         f = _sigmoid(gates[:, w : 2 * w])
-        g = jnp.tanh(gates[:, 2 * w : 3 * w])
+        g = _tanh(gates[:, 2 * w : 3 * w])
         o = _sigmoid(gates[:, 3 * w :])
         c = f * c_ref[:] + ii * g
-        tanh_c = jnp.tanh(c)
+        tanh_c = _tanh(c)
         hn = o * tanh_c
         h_ref[:] = hn
         c_ref[:] = c
@@ -627,9 +647,9 @@ def _lstm_bwd_kernel(
         gates = g_x + jnp.dot(hp, wh_ref[:], preferred_element_type=jnp.float32)
         ii = _sigmoid(gates[:, :w])
         f = _sigmoid(gates[:, w : 2 * w])
-        g = jnp.tanh(gates[:, 2 * w : 3 * w])
+        g = _tanh(gates[:, 2 * w : 3 * w])
         o = _sigmoid(gates[:, 3 * w :])
-        tanh_c = jnp.tanh(c)
+        tanh_c = _tanh(c)
 
         dh = dy_ref[t] + dh_ref[:]
         do = dh * tanh_c
