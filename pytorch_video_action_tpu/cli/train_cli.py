@@ -326,13 +326,17 @@ def _train_loop(args, trainer, ts, train_feed, dev_feed, model,
             print('{} ==> {}'.format(dev_acc, previous_dev))
             model_path = 'models/{}.npz'.format(
                 ckpt.checkpoint_name(args.model, dev_acc))
-            ckpt.save_params(model_path, ts.params, ts.model_state)
+            # async: the epoch loop continues while the npz hits disk;
+            # atomic rename means a preemption mid-write can't corrupt it
+            ckpt.save_params(model_path, ts.params, ts.model_state,
+                             async_=True)
             metrics.log("checkpoint", path=model_path,
                         dev_segment_acc=round(dev_acc, 4))
             previous_dev = dev_acc
         if args.resume is not None:
             ckpt.save_resume(args.resume, ts.params, ts.opt_state, epoch + 1,
-                             model_state=ts.model_state)
+                             model_state=ts.model_state, async_=True)
 
+    ckpt.flush()
     print('Finished Training, Dev Accuracy: ', previous_dev)
     return previous_dev

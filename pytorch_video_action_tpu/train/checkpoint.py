@@ -14,10 +14,59 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# in-flight async checkpoint writers (join via flush())
+_PENDING: list[threading.Thread] = []
+_PENDING_LOCK = threading.Lock()
+
+
+def _atomic_savez(path: str, flat: dict) -> None:
+    """Write-then-rename: a preemption (or second SIGTERM) landing mid-write
+    never corrupts an existing bundle — the old file survives until the new
+    one is fully on disk."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    try:
+        with open(tmp, "wb") as f:  # file object: savez won't append '.npz'
+            np.savez(f, **flat)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _write(path: str, flat: dict, async_: bool) -> None:
+    if not async_:
+        # a later synchronous save must land after any in-flight async one
+        # (e.g. the preemption save racing the previous epoch's resume
+        # bundle) — drain first so the newest state wins the rename
+        flush()
+        _atomic_savez(path, flat)
+        return
+    with _PENDING_LOCK:
+        prev = _PENDING[-1] if _PENDING else None
+
+        def run():
+            if prev is not None:
+                prev.join()  # serialize: older writes land first
+            _atomic_savez(path, flat)
+
+        t = threading.Thread(target=run, daemon=True)
+        _PENDING.append(t)
+    t.start()
+
+
+def flush() -> None:
+    """Join all in-flight async checkpoint writes (call before process exit
+    or before re-reading a bundle just saved)."""
+    with _PENDING_LOCK:
+        pending, _PENDING[:] = _PENDING[:], []
+    for t in pending:
+        t.join()
 
 
 def _flatten(tree, prefix=""):
@@ -64,10 +113,14 @@ def checkpoint_name(model: str, dev_acc: float) -> str:
 _STATE_PREFIX = "__state__/"
 
 
-def save_params(path: str, params, model_state=None) -> None:
+def save_params(path: str, params, model_state=None, async_: bool = False) -> None:
     """Params (+ optional non-trainable model state, e.g. bilstm_lm's
     BatchNorm running stats — the reference's ``state_dict()`` includes
-    running_mean/var, so ours must round-trip them too)."""
+    running_mean/var, so ours must round-trip them too).
+
+    ``async_=True`` fetches to host synchronously (cheap — the arrays are
+    already materialized at epoch end) and writes on a background thread so
+    training never stalls on disk; join via ``flush()``."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = _flatten(jax.device_get(params))
     if model_state is not None:
@@ -75,7 +128,9 @@ def save_params(path: str, params, model_state=None) -> None:
             _STATE_PREFIX + k: v
             for k, v in _flatten(jax.device_get(model_state)).items()
         })
-    np.savez(path, **flat)
+    if not path.endswith(".npz"):
+        path = path + ".npz"
+    _write(path, flat, async_)
 
 
 def load_params(path: str, with_state: bool = False):
@@ -98,7 +153,8 @@ def load_params(path: str, with_state: bool = False):
 
 
 def save_resume(path: str, params, opt_state, epoch: int,
-                extra: dict | None = None, model_state=None):
+                extra: dict | None = None, model_state=None,
+                async_: bool = False):
     """Full resumable bundle (params + optimizer state + progress) — a
     capability the reference lacks (its Adam restarts on resume).
 
@@ -123,8 +179,7 @@ def save_resume(path: str, params, opt_state, epoch: int,
         flat["extra_json"] = np.frombuffer(
             json.dumps(extra).encode(), dtype=np.uint8
         )
-    with open(path, "wb") as f:  # file object: savez won't append '.npz'
-        np.savez(f, **flat)
+    _write(path, flat, async_)
 
 
 def load_resume(path: str, opt_state_like=None):

@@ -4,6 +4,7 @@ correctly named checkpoint, and round-trip through save/load."""
 
 import os
 
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -399,3 +400,35 @@ def test_eval_beam_search_stateful_model(synthetic_root, tmp_path):
         arpa, beam_size=3, model_state=ts.model_state,
     )
     assert 0.0 <= seg_acc <= 100.0 and 0.0 <= frame_acc <= 100.0
+
+
+def test_async_atomic_checkpointing(tmp_path):
+    """Async saves serialize (last write wins after flush) and the rename is
+    atomic — a pre-existing bundle is never left half-written."""
+    import pytorch_video_action_tpu.train.checkpoint as ckpt
+
+    params_a = {"w": jnp.ones((4, 4)), "b": jnp.zeros((4,))}
+    params_b = {"w": jnp.full((4, 4), 2.0), "b": jnp.ones((4,))}
+    path = str(tmp_path / "m.npz")
+
+    # two async writes to the same path: ordering guarantees the newer wins
+    ckpt.save_params(path, params_a, async_=True)
+    ckpt.save_params(path, params_b, async_=True)
+    ckpt.flush()
+    got = ckpt.load_params(path)
+    np.testing.assert_allclose(np.asarray(got["w"]), 2.0)
+
+    # a synchronous save after an async one also lands last
+    ckpt.save_params(path, params_b, async_=True)
+    ckpt.save_params(path, params_a)  # sync drains pending first
+    got = ckpt.load_params(path)
+    np.testing.assert_allclose(np.asarray(got["w"]), 1.0)
+
+    # async resume bundle roundtrip
+    rpath = str(tmp_path / "r.npz")
+    ckpt.save_resume(rpath, params_a, [jnp.zeros((2,))], 7, async_=True)
+    ckpt.flush()
+    bundle = ckpt.load_resume(rpath)
+    assert bundle["epoch"] == 7
+    # no temp files left behind
+    assert [p.name for p in tmp_path.iterdir() if ".tmp." in p.name] == []
