@@ -1,37 +1,64 @@
 #!/usr/bin/env python
-"""Benchmark: flagship BiGRU training-step throughput on one TPU chip vs. the
-reference's PyTorch-CPU equivalent (BASELINE.json metric: frames/sec/chip;
-north-star >= 10x the PyTorch CPU reference).
+"""Benchmark: training-step throughput on one TPU chip vs. the reference's
+PyTorch-CPU equivalent (BASELINE.json metric: frames/sec/chip; north-star
+>= 10x the PyTorch CPU reference).
 
-Measurement discipline: the TPU side chains N full train steps inside ONE
-jitted ``lax.fori_loop`` (params evolve step to step) and fetches the final
-loss scalar — immune to async-dispatch / identical-call caching artifacts of
-the device tunnel.  Both sides run the same shapes.
+Headline (the one JSON line): flagship BiGRU train step.  Secondary configs
+(ms_tcn, bilstm) are benched too and reported as extra keys on the same line
+so regressions beyond the flagship are visible round-over-round.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Measurement discipline:
+* TPU side chains N full train steps inside ONE jitted ``lax.fori_loop``
+  (params evolve step to step) and fetches the final loss scalar — immune to
+  async-dispatch / identical-call caching artifacts of the device tunnel.
+* Both sides take the MEDIAN of ``RUNS`` timed repeats; the torch baseline
+  runs ``REF_STEPS`` (>=3) steps per repeat with an explicit pinned thread
+  count — the round-1 single-step baseline had ~2x noise on the shared host.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
 import numpy as np
 
-B = int(os.environ.get("PVA_BENCH_B", 64))
-T = int(os.environ.get("PVA_BENCH_T", 1024))
 N_CLASS = 48
 STEPS = int(os.environ.get("PVA_BENCH_STEPS", 10))
-REF_STEPS = int(os.environ.get("PVA_BENCH_REF_STEPS", 1))
+REF_STEPS = int(os.environ.get("PVA_BENCH_REF_STEPS", 3))
+RUNS = int(os.environ.get("PVA_BENCH_RUNS", 3))
 # bf16 mixed precision (f32 master weights/softmax/loss) — the TPU-native
 # production configuration; validated for training quality in
 # tests/test_training.py::test_bf16_mixed_precision_training_learns
 DTYPE = os.environ.get("PVA_BENCH_DTYPE", "bfloat16")
+# which configs to run: headline first, secondaries after
+MODELS = os.environ.get("PVA_BENCH_MODELS", "bigru,ms_tcn,bilstm").split(",")
+
+# (B, T) per config: bigru/bilstm bench the bucketed-batch regime, ms_tcn the
+# whole-video long-T regime it trains in (networks.py:298-347)
+SHAPES = {
+    "bigru": (int(os.environ.get("PVA_BENCH_B", 64)),
+              int(os.environ.get("PVA_BENCH_T", 1024))),
+    "bilstm": (64, 1024),
+    "ms_tcn": (8, 4096),
+}
 
 
-def bench_tpu() -> float:
+def _median_throughput(fn, frames: int, runs: int) -> float:
+    times = []
+    for _ in range(runs):
+        start = time.perf_counter()
+        fn()
+        times.append(time.perf_counter() - start)
+    return frames / statistics.median(times)
+
+
+def bench_tpu(model_name: str) -> float:
     from __graft_entry__ import _enable_compile_cache
 
     _enable_compile_cache()
@@ -40,18 +67,28 @@ def bench_tpu() -> float:
     import optax
 
     from pytorch_video_action_tpu.models import build_model
-    from pytorch_video_action_tpu.train.losses import nll_loss
+    from pytorch_video_action_tpu.train.losses import make_loss_fn
 
-    model = build_model("bigru", N_CLASS, defaults=True)
+    b, t = SHAPES[model_name]
+    use_pallas = (
+        os.environ.get("PVA_BENCH_MSTCN_PALLAS") == "1"
+        if model_name == "ms_tcn" else False
+    )
+    model = build_model(model_name, N_CLASS, defaults=True,
+                        use_pallas=use_pallas)
     params = model.init(jax.random.PRNGKey(0))
     tx = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
     opt_state = tx.init(params)
+    loss = make_loss_fn(model_name, N_CLASS)
 
-    cd = jnp.dtype(DTYPE) if DTYPE != "float32" else None
+    # ms_tcn trains in f32 (CE over raw logits; the conv stack is
+    # bandwidth-bound, bf16 measured no-gain — docs/PERF_NOTES.md)
+    cd = None if (DTYPE == "float32" or model_name == "ms_tcn") \
+        else jnp.dtype(DTYPE)
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.normal(size=(B, T, 400)).astype(np.float32))
-    lengths = jnp.full((B,), T, dtype=jnp.int32)
-    targets = jnp.asarray(rng.integers(0, N_CLASS, size=(B * T,)))
+    x = jnp.asarray(rng.normal(size=(b, t, 400)).astype(np.float32))
+    lengths = jnp.full((b,), t, dtype=jnp.int32)
+    targets = jnp.asarray(rng.integers(0, N_CLASS, size=(b * t,)))
     key = jax.random.PRNGKey(1)
 
     def loss_fn(p, rng_i):
@@ -59,81 +96,149 @@ def bench_tpu() -> float:
             p = jax.tree.map(lambda a: a.astype(cd), p)
         out = model.apply(p, x.astype(cd) if cd is not None else x,
                           lengths, train=True, rng=rng_i)
-        return nll_loss(out, targets)
+        return loss(out, targets)
 
     @jax.jit
     def run(params, opt_state):
         def body(i, carry):
             p, s, _ = carry
-            loss, grads = jax.value_and_grad(loss_fn)(p, jax.random.fold_in(key, i))
+            l, grads = jax.value_and_grad(loss_fn)(p, jax.random.fold_in(key, i))
             updates, s = tx.update(grads, s, p)
             p = optax.apply_updates(p, updates)
-            return (p, s, loss)
+            return (p, s, l)
 
         return jax.lax.fori_loop(0, STEPS, body, (params, opt_state, 0.0))
 
     out = run(params, opt_state)  # compile + first run
-    float(out[2])
-    start = time.perf_counter()
-    out = run(params, opt_state)
-    final_loss = float(out[2])  # forces full execution
-    elapsed = time.perf_counter() - start
-    assert np.isfinite(final_loss)
-    return B * T * STEPS / elapsed
+    assert np.isfinite(float(out[2]))
+
+    def timed():
+        final_loss = float(run(params, opt_state)[2])  # forces execution
+        assert np.isfinite(final_loss)
+
+    return _median_throughput(timed, b * t * STEPS, RUNS)
 
 
-def bench_torch_cpu() -> float:
-    """Reference-equivalent workload: torch BiGRU (4-layer bidirectional,
-    hidden 256, dropout 0.5) forward+backward+Adam on CPU, same shapes."""
+def bench_torch_cpu(model_name: str) -> float:
+    """Reference-equivalent workload on CPU, same shapes, pinned threads."""
     import torch
 
+    torch.set_num_threads(
+        int(os.environ.get("PVA_BENCH_TORCH_THREADS", os.cpu_count() or 1)))
     torch.manual_seed(0)
+    b, t = SHAPES[model_name]
 
-    class RefBiGRU(torch.nn.Module):
-        def __init__(self):
-            super().__init__()
-            self.drop = torch.nn.Dropout(0.5)
-            self.rnn = torch.nn.GRU(
-                input_size=400, hidden_size=128, num_layers=4,
-                batch_first=True, bidirectional=True, dropout=0.5,
-            )
-            self.out = torch.nn.Linear(256, N_CLASS)
+    if model_name in ("bigru", "bilstm"):
+        rnn_cls = torch.nn.GRU if model_name == "bigru" else torch.nn.LSTM
 
-        def forward(self, x):
-            h, _ = self.rnn(self.drop(x))
-            return torch.log_softmax(self.out(h.reshape(-1, 256)), dim=1)
+        class RefRNN(torch.nn.Module):
+            """networks.py bigru/bilstm defaults: 4-layer bidir, hidden 128."""
 
-    net = RefBiGRU()
-    crit = torch.nn.NLLLoss(ignore_index=-1)
+            def __init__(self):
+                super().__init__()
+                self.drop = torch.nn.Dropout(0.5)
+                self.rnn = rnn_cls(
+                    input_size=400, hidden_size=128, num_layers=4,
+                    batch_first=True, bidirectional=True, dropout=0.5,
+                )
+                self.out = torch.nn.Linear(256, N_CLASS)
+
+            def forward(self, x):
+                h, _ = self.rnn(self.drop(x))
+                return torch.log_softmax(self.out(h.reshape(-1, 256)), dim=1)
+
+        net = RefRNN()
+        crit = torch.nn.NLLLoss(ignore_index=-1)
+    else:  # ms_tcn: 4 stages x 20 dilated residual layers (networks.py:298-347)
+        class Layer(torch.nn.Module):
+            def __init__(self, d, c):
+                super().__init__()
+                self.cd = torch.nn.Conv1d(c, c, 3, padding=d, dilation=d)
+                self.c1 = torch.nn.Conv1d(c, c, 1)
+                self.drop = torch.nn.Dropout(0.5)
+
+            def forward(self, x):
+                return x + self.drop(self.c1(torch.relu(self.cd(x))))
+
+        class Stage(torch.nn.Module):
+            def __init__(self, dim, c=64, n=20):
+                super().__init__()
+                self.inp = torch.nn.Conv1d(dim, c, 1)
+                self.layers = torch.nn.ModuleList(Layer(2 ** i, c) for i in range(n))
+                self.out = torch.nn.Conv1d(c, N_CLASS, 1)
+
+            def forward(self, x):
+                x = self.inp(x)
+                for l in self.layers:
+                    x = l(x)
+                return self.out(x)
+
+        class RefMSTCN(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.stages = torch.nn.ModuleList(
+                    [Stage(400)] + [Stage(N_CLASS) for _ in range(3)])
+
+            def forward(self, x):  # x: [B, C, T] -> flat logits
+                out = self.stages[0](x)
+                acc = out
+                for s in self.stages[1:]:
+                    out = s(torch.softmax(out, dim=1))
+                    acc = torch.max(acc, out)
+                return acc.transpose(1, 2).reshape(-1, N_CLASS)
+
+        net = RefMSTCN()
+        crit = torch.nn.CrossEntropyLoss(ignore_index=-1)
+
     opt = torch.optim.Adam(net.parameters(), lr=1e-3)
-    x = torch.randn(B, T, 400)
-    y = torch.randint(0, N_CLASS, (B * T,))
+    if model_name == "ms_tcn":
+        x = torch.randn(b, 400, t)
+    else:
+        x = torch.randn(b, t, 400)
+    y = torch.randint(0, N_CLASS, (b * t,))
 
-    opt.zero_grad()  # warmup step
-    crit(net(x), y).backward()
-    opt.step()
-    start = time.perf_counter()
-    for _ in range(REF_STEPS):
+    def step():
         opt.zero_grad()
         crit(net(x), y).backward()
         opt.step()
-    elapsed = time.perf_counter() - start
-    return B * T * REF_STEPS / elapsed
+
+    step()  # warmup
+
+    def timed():
+        for _ in range(REF_STEPS):
+            step()
+
+    return _median_throughput(timed, b * t * REF_STEPS, RUNS)
 
 
 def main():
+    models = [m for m in MODELS if m in SHAPES]
+    headline = models[0]
+    skip_ref = os.environ.get("PVA_BENCH_SKIP_REF") == "1"
+    ref_all = os.environ.get("PVA_BENCH_REF_ALL") == "1"
+
+    result = {}
     baseline_fps = None
-    if os.environ.get("PVA_BENCH_SKIP_REF") != "1":
-        baseline_fps = bench_torch_cpu()
-        print(f"# torch-cpu reference: {baseline_fps:,.0f} frames/sec", file=sys.stderr)
-    fps = bench_tpu()
-    print(f"# tpu: {fps:,.0f} frames/sec", file=sys.stderr)
-    result = {
-        "metric": "bigru_train_step_throughput",
-        "value": round(fps, 1),
-        "unit": "frames/sec/chip",
-        "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
-    }
+    for name in models:
+        fps = bench_tpu(name)
+        print(f"# tpu {name}: {fps:,.0f} frames/sec", file=sys.stderr)
+        if name == headline:
+            if not skip_ref:
+                baseline_fps = bench_torch_cpu(name)
+                print(f"# torch-cpu {name}: {baseline_fps:,.0f} frames/sec",
+                      file=sys.stderr)
+            result.update({
+                "metric": f"{name}_train_step_throughput",
+                "value": round(fps, 1),
+                "unit": "frames/sec/chip",
+                "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
+            })
+        else:
+            result[f"{name}_fps"] = round(fps, 1)
+            if ref_all and not skip_ref:
+                ref = bench_torch_cpu(name)
+                print(f"# torch-cpu {name}: {ref:,.0f} frames/sec", file=sys.stderr)
+                result[f"{name}_vs_baseline"] = round(fps / ref, 2)
     print(json.dumps(result))
 
 
