@@ -64,6 +64,20 @@ def init(rng, cfg: MSTCNConfig) -> dict:
 
 def _apply_stage(stage, x, mask, cfg, train, rng):
     out = conv1d(stage["conv_in"], x)
+    # eval fast path: the whole stage in ONE Pallas kernel (activation
+    # crosses HBM once instead of once per layer; +16% eval throughput at
+    # B=8, T=4096 — docs/PERF_NOTES.md).  Auto-enabled on TPU like the RNN
+    # scan kernels (PVA_USE_PALLAS=0 disables).  Train keeps the per-layer
+    # path: the stage kernel's VJP recomputes a full stage forward, which
+    # loses more than the fused forward saves.
+    from ..ops.rnn import _pallas_enabled
+
+    if (cfg.use_pallas or _pallas_enabled()) and not train:
+        from ..ops.conv_pallas import fused_stage
+
+        fused = fused_stage(stage["layers"], out, mask)
+        if fused is not None:
+            return conv1d(stage["conv_out"], fused) * mask
     rngs = split_rng(rng, len(stage["layers"]))
     for i, layer in enumerate(stage["layers"]):
         out = dilated_residual_layer(

@@ -38,6 +38,7 @@ Numerics vs. the XLA path (eval + train-with-dropout) are tested in
 from __future__ import annotations
 
 import functools
+import os as _os
 
 import jax
 import jax.numpy as jnp
@@ -228,3 +229,183 @@ def hash_dropout_reference(layer: dict, x, mask, dilation: int,
         x, jnp.asarray(mask, x.dtype), jnp.asarray(seeds, jnp.uint32),
         dilation, 1.0 - float(dropout_rate),
     )
+
+
+# ===================================================== whole-stage fusion
+#
+# One pallas_call per MS-TCN *stage*: all ``num_layers`` dilated residual
+# layers run on a VMEM-resident [T, C] block, so the activation crosses HBM
+# once per stage instead of once per layer.  XLA's per-layer floor is the
+# mandatory read+write of [B, T, C] around every conv pair (~59 us of the
+# ~80 us/layer measured at B=8, T=4096 on the bench chip — HBM 271 GB/s);
+# fusing the stage removes 19/20 of that traffic.
+#
+# MXU packing: the three taps become ONE [T, 3C] x [3C, C] dot — the
+# shifted copies ``[x<<d, x, x>>d]`` are concatenated on the lane axis and
+# contracted against ``w_d`` reshaped to [3C, C] (tap-major, the natural
+# [3, C, C] layout flattened), tripling the contraction depth vs. three
+# K=64 dots.  The 1x1 conv stays a K=C dot.
+#
+# Layer loop is unrolled at trace time (static dilations 2^0..2^(L-1),
+# clamped at T where the taps vanish), so every shift is a static slice.
+
+
+# Tap packing for the stage kernel's dilated conv, measured at B=8, T=4096
+# (docs/PERF_NOTES.md): "in" = concat shifted inputs, one K=3C dot (5.42 ms
+# full eval fwd); "out" = one N=3C dot, shift results (6.41 ms — the MXU
+# prefers deep contraction over wide output on this part).  Default: winner.
+_STAGE_PACK = _os.environ.get("PVA_STAGE_PACK", "in")
+
+
+def _stage_kernel(x_ref, mask_ref, seed_ref, wcat_ref, bd_ref, wp_ref,
+                  bp_ref, out_ref, *, dilations: tuple, keep: float):
+    x = x_ref[0].astype(jnp.float32)      # [T, C] residual carry, f32
+    m = mask_ref[0].astype(jnp.float32)
+    t, c = x.shape
+    thr = _threshold(keep)
+    for i, d in enumerate(dilations):
+        if _STAGE_PACK == "in":
+            # input packing: [x<<d, x, x>>d] [T,3C] @ wcat[i] [3C,C] (K=192)
+            if d < t:
+                x_l = jnp.pad(x[: t - d], ((d, 0), (0, 0)))  # x[t-d] @ row t
+                x_r = jnp.pad(x[d:], ((0, d), (0, 0)))       # x[t+d] @ row t
+                xcat = jnp.concatenate([x_l, x, x_r], axis=1)  # [T, 3C]
+                g = jnp.dot(xcat, wcat_ref[i],
+                            preferred_element_type=jnp.float32)
+            else:  # taps out of range: only the center row block of wcat
+                g = jnp.dot(x, wcat_ref[i, c: 2 * c],
+                            preferred_element_type=jnp.float32)
+        else:
+            # output packing: one [T,C] @ [C,3C] dot (N=192), taps shifted
+            # AFTER the matmul (shift-then-matmul == matmul-then-shift since
+            # the dot is per-row) — no input concat copies
+            g3 = jnp.dot(x, wcat_ref[i],
+                         preferred_element_type=jnp.float32)  # [T, 3C]
+            g = g3[:, c: 2 * c]
+            if d < t:
+                g = g + jnp.pad(g3[: t - d, :c], ((d, 0), (0, 0)))
+                g = g + jnp.pad(g3[d:, 2 * c:], ((0, d), (0, 0)))
+        g += bd_ref[i: i + 1]
+        h = jnp.maximum(g, 0.0)
+        out = jnp.dot(h, wp_ref[i], preferred_element_type=jnp.float32)
+        out += bp_ref[i: i + 1]
+        if keep < 1.0:
+            km = _keep_mask(seed_ref[pl.program_id(0), i], t, c, thr)
+            out = jnp.where(km, out * (1.0 / keep), 0.0)
+        x = (x + out) * m
+    out_ref[0] = x.astype(out_ref.dtype)
+
+
+def stage_supported(b: int, t: int, c: int, n_layers: int,
+                    dtype_bytes: int = 4) -> bool:
+    # live f32 set per layer iteration: x, xcat(3C), g/h, out  (~6 T*C)
+    # + all layers' weights ([L,3C,C] + [L,C,C]) + in/out blocks (dtype)
+    acts = 6 * t * c * 4 + 2 * t * c * dtype_bytes
+    weights = n_layers * 4 * c * c * 4
+    return acts + weights + 4 * t * c <= _VMEM_BUDGET
+
+
+@functools.partial(jax.jit, static_argnames=("dilations", "keep", "interpret"))
+def _stage_call(wcat, bd, wp, bp, x, mask, seeds_f32, dilations, keep,
+                interpret=False):
+    b, t, c = x.shape
+    seeds = lax.bitcast_convert_type(seeds_f32, jnp.uint32)
+    blk = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    mblk = pl.BlockSpec((1, t, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec(memory_space=pltpu.SMEM)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    return pl.pallas_call(
+        functools.partial(_stage_kernel, dilations=dilations, keep=keep),
+        grid=(b,),
+        in_specs=[blk, mblk, sblk, wspec, wspec, wspec, wspec],
+        out_specs=blk,
+        out_shape=jax.ShapeDtypeStruct((b, t, c), x.dtype),
+        interpret=interpret,
+    )(x, mask, seeds, wcat, bd, wp, bp)
+
+
+def _stage_xla(wcat, bd, wp, bp, x, mask, seeds, dilations, keep):
+    """The per-layer XLA chain with identical (hash-dropout) semantics —
+    custom-VJP recompute backward and test oracle for the stage kernel."""
+    c = x.shape[-1]
+    for i, d in enumerate(dilations):
+        if _STAGE_PACK == "in":
+            w_d = wcat[i].reshape(3, c, c)
+        else:  # [C, 3C] tap-minor -> [3, C, C]
+            w_d = wcat[i].reshape(c, 3, c).transpose(1, 0, 2)
+        x = _xla_layer(
+            w_d, bd[i], wp[i][None], bp[i], x, mask,
+            None if seeds is None else seeds[:, i], d, keep,
+        )
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _stage(wcat, bd, wp, bp, x, mask, seeds_f32, dilations, keep, interpret):
+    return _stage_call(wcat, bd, wp, bp, x, mask, seeds_f32, dilations, keep,
+                       interpret=interpret)
+
+
+def _stage_fwd(wcat, bd, wp, bp, x, mask, seeds_f32, dilations, keep,
+               interpret):
+    out = _stage(wcat, bd, wp, bp, x, mask, seeds_f32, dilations, keep,
+                 interpret)
+    return out, (wcat, bd, wp, bp, x, mask, seeds_f32)
+
+
+def _stage_bwd(dilations, keep, interpret, res, dout):
+    wcat, bd, wp, bp, x, mask, seeds_f32 = res
+    seeds = lax.bitcast_convert_type(seeds_f32, jnp.uint32)
+    _, vjp = jax.vjp(
+        lambda *a: _stage_xla(*a, seeds=seeds, dilations=dilations, keep=keep),
+        wcat, bd, wp, bp, x, mask,
+    )
+    return vjp(dout) + (jnp.zeros_like(seeds_f32),)
+
+
+_stage.defvjp(_stage_fwd, _stage_bwd)
+
+
+def fused_stage(layers: list, x, mask, dropout_rate: float = 0.0,
+                seeds=None, interpret: bool | None = None):
+    """All of one MS-TCN stage's dilated residual layers in one kernel.
+
+    ``layers``: the stage's layer param list (dilation of layer i = 2**i,
+    ``networks.py:312-347``); returns None when unsupported (caller falls
+    back to the per-layer path).  ``seeds``: [B, L] uint32 when
+    ``dropout_rate > 0``.  Differentiable (custom VJP recomputes through
+    the XLA layer chain with the identical hash masks) — but the recompute
+    re-runs a full stage forward, so the TRAIN path prefers per-layer
+    kernels; this is the eval/inference fast path.
+    """
+    b, t, c = x.shape
+    n = len(layers)
+    if any(l["conv_dilated"]["w"].shape[0] != 3 for l in layers):
+        return None
+    if not stage_supported(b, t, c, n, jnp.dtype(x.dtype).itemsize):
+        return None
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    keep = 1.0 - float(dropout_rate)
+    if keep < 1.0:
+        if seeds is None:
+            raise ValueError("dropout_rate > 0 requires per-(video,layer) seeds")
+        seeds_f32 = lax.bitcast_convert_type(
+            jnp.asarray(seeds, jnp.uint32), jnp.float32)
+    else:
+        seeds_f32 = jnp.zeros((b, n), jnp.float32)
+    dilations = tuple(min(2 ** i, t) for i in range(n))
+    if mask.ndim == 2:
+        mask = mask[:, :, None]
+    if _STAGE_PACK == "in":
+        wcat = jnp.stack(
+            [l["conv_dilated"]["w"].reshape(3 * c, c) for l in layers])
+    else:
+        wcat = jnp.stack(
+            [l["conv_dilated"]["w"].transpose(1, 0, 2).reshape(c, 3 * c)
+             for l in layers])
+    bd = jnp.stack([l["conv_dilated"]["b"] for l in layers])
+    wp = jnp.stack([l["conv_1x1"]["w"][0] for l in layers])
+    bp = jnp.stack([l["conv_1x1"]["b"] for l in layers])
+    return _stage(wcat, bd, wp, bp, x, jnp.asarray(mask, x.dtype), seeds_f32,
+                  dilations, keep, interpret)

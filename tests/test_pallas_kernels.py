@@ -382,3 +382,93 @@ def test_gru_bf16_gates_close_to_f32():
         assert np.all(np.isfinite(a))
         denom = max(np.abs(b).max(), 1e-3)
         assert np.abs(a - b).max() / denom < 0.05
+
+
+# ======================================================= whole-stage fusion
+
+
+def _stage_layers(n=6, seed=0, c=64):
+    return [_conv_layer(seed * 100 + i, c) for i in range(n)]
+
+
+def _xla_stage(layers, x, mask, dropout_rate=0.0, seeds=None):
+    """Per-layer oracle chain (hash dropout when seeds given)."""
+    from pytorch_video_action_tpu.ops.conv import dilated_residual_layer
+    from pytorch_video_action_tpu.ops.conv_pallas import hash_dropout_reference
+
+    t = x.shape[1]
+    for i, l in enumerate(layers):
+        d = min(2 ** i, t)
+        if seeds is None:
+            x = dilated_residual_layer(l, x, mask, dilation=d, train=False)
+        else:
+            x = hash_dropout_reference(l, x, mask, d, dropout_rate,
+                                       seeds[:, i])
+    return x
+
+
+def test_fused_stage_matches_per_layer_chain():
+    """Stage kernel == the per-layer XLA chain at eval (dilations 1..32
+    including d >= T tap-vanishing levels)."""
+    from pytorch_video_action_tpu.ops.conv_pallas import fused_stage
+
+    layers = _stage_layers(7)  # d = 1..64 > T=48
+    x, mask = _conv_inputs(3)
+    got = fused_stage(layers, x, mask)
+    assert got is not None
+    expect = _xla_stage(layers, x, mask)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_fused_stage_dropout_matches_hash_chain():
+    from pytorch_video_action_tpu.ops.conv_pallas import fused_stage
+
+    layers = _stage_layers(5, seed=1)
+    x, mask = _conv_inputs(4)
+    seeds = jnp.asarray(
+        np.random.default_rng(5).integers(0, 2**32, size=(2, 5)), jnp.uint32)
+    got = fused_stage(layers, x, mask, dropout_rate=0.5, seeds=seeds)
+    assert got is not None
+    expect = _xla_stage(layers, x, mask, 0.5, seeds)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(expect),
+                               atol=5e-5, rtol=1e-4)
+
+
+def test_fused_stage_grads_match_chain():
+    """Custom-VJP backward (XLA chain recompute) == autodiff through the
+    per-layer oracle."""
+    from pytorch_video_action_tpu.ops.conv_pallas import fused_stage
+
+    layers = _stage_layers(4, seed=2)
+    x, mask = _conv_inputs(6)
+
+    def loss_pallas(layers, x):
+        return jnp.sum(fused_stage(layers, x, mask) ** 2)
+
+    def loss_xla(layers, x):
+        return jnp.sum(_xla_stage(layers, x, mask) ** 2)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1))(layers, x)
+    gx = jax.grad(loss_xla, argnums=(0, 1))(layers, x)
+    for a, b in zip(jax.tree_util.tree_leaves(gp),
+                    jax.tree_util.tree_leaves(gx)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-4, rtol=1e-3)
+
+
+def test_mstcn_stage_fused_eval_matches_xla():
+    """Full model: use_pallas eval (stage-fused path) == XLA model."""
+    from pytorch_video_action_tpu.models import mstcn
+
+    kw = dict(dim=16, num_stages=3, num_layers=6, num_f_maps=64, n_class=5,
+              dropout_rate=0.5)
+    cfg_x = mstcn.MSTCNConfig(**kw, use_pallas=False)
+    cfg_p = mstcn.MSTCNConfig(**kw, use_pallas=True)
+    params = mstcn.init(jax.random.PRNGKey(3), cfg_x)
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.normal(size=(2, 50, 16)).astype(np.float32))
+    lengths = jnp.asarray(np.array([50, 31], np.int32))
+    out_x = np.asarray(mstcn.apply(params, cfg_x, x, lengths, train=False))
+    out_p = np.asarray(mstcn.apply(params, cfg_p, x, lengths, train=False))
+    np.testing.assert_allclose(out_p, out_x, atol=5e-5, rtol=1e-4)
