@@ -49,29 +49,17 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 12 * 1024 * 1024  # leave headroom below ~16 MB/core
 
 
-def _threshold(keep: float) -> int:
-    """uint32 compare threshold such that P(hash < threshold) == keep."""
-    return min(0xFFFFFFFF, int(round(keep * 2.0 ** 32)))
+from .hashmask import threshold as _threshold  # noqa: E402  (shared stream)
 
 
 def _keep_mask(seed_u32, t: int, c: int, threshold: int):
-    """[t, c] bool keep-mask from a scalar uint32 seed.
+    """[t, c] bool keep-mask from a scalar uint32 seed — the shared
+    murmur3-fmix32 counter hash (ops/hashmask.py): full avalanche, constant
+    shifts only (Mosaic-friendly), identical bits under XLA and Pallas (used
+    by both the kernel forward and the XLA recompute backward)."""
+    from .hashmask import keep_mask
 
-    murmur3 fmix32 finalizer over ``index + seed * golden`` — full avalanche,
-    constant shifts only (Mosaic-friendly), identical bits under XLA and
-    Pallas (used by both the kernel forward and the XLA recompute backward).
-    """
-    idx = (
-        lax.broadcasted_iota(jnp.uint32, (t, c), 0) * jnp.uint32(c)
-        + lax.broadcasted_iota(jnp.uint32, (t, c), 1)
-    )
-    h = idx + seed_u32 * jnp.uint32(0x9E3779B9)
-    h = h ^ (h >> 16)
-    h = h * jnp.uint32(0x85EBCA6B)
-    h = h ^ (h >> 13)
-    h = h * jnp.uint32(0xC2B2AE35)
-    h = h ^ (h >> 16)
-    return h < jnp.uint32(threshold)
+    return keep_mask(seed_u32, (t, c), threshold)
 
 
 def _xla_layer(w_d, b_d, w_p, b_p, x, mask, seeds, dilation, keep):

@@ -59,9 +59,15 @@ def _kv_blocks(k, v, key_mask, block: int):
 
 
 def _block_keep_mask(rng, step, keep: float, shape):
-    """Per-block dropout keep-mask — fold_in(step) makes it reproducible in
-    the backward recompute without storing it."""
-    return jax.random.bernoulli(jax.random.fold_in(rng, step), keep, shape)
+    """Per-block dropout keep-mask, reproducible in the backward recompute
+    without storing it.  Counter-hash (fmix32) instead of threefry
+    ``bernoulli``: the masks are regenerated in BOTH passes over the full
+    [T, T_kv] extent, and threefry alone measured 13.7 ms of a 40 ms attn
+    train step (B=4, T=4096) — the hash form cuts that ~2/3
+    (docs/PERF_NOTES.md)."""
+    from .hashmask import keep_mask, rng_seed_u32, threshold
+
+    return keep_mask(rng_seed_u32(rng), shape, threshold(keep), offset=step)
 
 
 def _flash_fwd_scan(q, k, v, key_mask, dropout_rate, rng, block):

@@ -1,0 +1,66 @@
+"""Counter-based dropout masks: murmur3-fmix32 over element indices.
+
+Threefry (``jax.random.bernoulli``) costs ~20+ VPU ops per word; for dropout
+masks regenerated in BOTH the forward and the recompute backward that is
+real step time (measured 13.7 ms of a 40 ms attn train step at B=4, T=4096
+— docs/PERF_NOTES.md).  fmix32 is ~7 integer ops with full avalanche —
+ample for Bernoulli keep-masks — and, unlike ``pltpu.prng_random_bits``,
+bitwise identical under XLA, Pallas and interpret mode, so Pallas kernels
+and their XLA recompute backwards can share mask streams (ops/conv_pallas.py
+uses the same construction in-kernel).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+GOLDEN = 0x9E3779B9
+
+
+def threshold(keep: float) -> int:
+    """uint32 compare threshold such that P(fmix32(x) < threshold) == keep."""
+    return min(0xFFFFFFFF, int(round(keep * 2.0 ** 32)))
+
+
+def fmix32(h):
+    """murmur3 finalizer: full avalanche, constant shifts only."""
+    h = h ^ (h >> 16)
+    h = h * jnp.uint32(0x85EBCA6B)
+    h = h ^ (h >> 13)
+    h = h * jnp.uint32(0xC2B2AE35)
+    h = h ^ (h >> 16)
+    return h
+
+
+def rng_seed_u32(rng) -> jax.Array:
+    """Collapse a JAX PRNG key (typed or raw uint32 vector) to one uint32."""
+    try:
+        if jnp.issubdtype(rng.dtype, jax.dtypes.prng_key):
+            rng = jax.random.key_data(rng)
+    except TypeError:
+        pass
+    data = jnp.asarray(rng).astype(jnp.uint32).reshape(-1)
+    seed = data[0]
+    for i in range(1, int(data.shape[0])):
+        seed = seed ^ (data[i] * jnp.uint32(GOLDEN))
+    return seed
+
+
+def keep_mask(seed_u32, shape, thresh: int, offset=None):
+    """iid-Bernoulli(keep) boolean mask over ``shape`` (static, any rank).
+
+    Element index is the linear row-major position; ``offset`` (traced
+    scalar ok) shifts the counter stream, e.g. ``offset=step * size`` gives
+    per-block disjoint streams that the backward regenerates exactly.
+    """
+    idx = jnp.zeros(shape, jnp.uint32)
+    stride = 1
+    for axis in range(len(shape) - 1, -1, -1):
+        idx = idx + lax.broadcasted_iota(jnp.uint32, shape, axis) * jnp.uint32(stride)
+        stride *= shape[axis]
+    h = idx + jnp.uint32(seed_u32) * jnp.uint32(GOLDEN)
+    if offset is not None:
+        h = h + offset.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
+    return fmix32(h) < jnp.uint32(thresh)
