@@ -13,6 +13,12 @@ import jax.numpy as jnp
 
 _DIMNUMS = ("NWC", "WIO", "NWC")
 
+# XLA-path dropout mask source (the Pallas kernels always use the hash
+# stream in-kernel).  Flippable for A/B measurement; default set by data.
+import os as _os
+
+HASH_DROPOUT = _os.environ.get("PVA_CONV_HASH_DROPOUT", "1") == "1"
+
 
 def init_conv1d(rng, in_ch: int, out_ch: int, kernel: int) -> dict:
     fan_in = in_ch * kernel
@@ -72,5 +78,14 @@ def dilated_residual_layer(
     out = conv1d(layer["conv_1x1"], out)
     if train and dropout_rate > 0.0 and rng is not None:
         keep = 1.0 - dropout_rate
-        out = out * jax.random.bernoulli(rng, keep, out.shape) / keep
+        if HASH_DROPOUT:
+            # counter-hash mask stream (ops/hashmask.py): cheaper mask bits
+            # than threefry; A/B-measured on the full step before defaulting
+            # (docs/PERF_NOTES.md)
+            from .hashmask import keep_mask, rng_seed_u32, threshold
+
+            km = keep_mask(rng_seed_u32(rng), out.shape, threshold(keep))
+            out = jnp.where(km, out * (1.0 / keep), jnp.zeros((), out.dtype))
+        else:
+            out = out * jax.random.bernoulli(rng, keep, out.shape) / keep
     return (x + out) * mask
