@@ -68,7 +68,11 @@ def ring_attention(
     perm = _ring_perm(n)
     use_dropout = dropout_rate > 0.0 and rng is not None
     if use_dropout:
-        rng = jax.random.fold_in(rng, lax.axis_index(axis_name))
+        from ..ops.hashmask import rng_seed_u32
+
+        # one threefry fold on a scalar (cheap) decorrelates devices; the
+        # per-block masks then come from the hash stream
+        seed = rng_seed_u32(jax.random.fold_in(rng, lax.axis_index(axis_name)))
 
     def fold(carry, kv_mask, step):
         m, l, acc = carry
@@ -81,10 +85,13 @@ def ring_attention(
         p = jnp.exp(s - m_new[..., None])
         l = l * alpha + p.sum(axis=-1)
         if use_dropout:
+            # counter-hash mask stream (ops/hashmask.py): threefry measured
+            # 13.7 ms/step on the single-chip flash path at this extent —
+            # same regenerated-per-block structure here (docs/PERF_NOTES.md)
+            from ..ops.hashmask import keep_mask, threshold
+
             keep = 1.0 - dropout_rate
-            mask = jax.random.bernoulli(
-                jax.random.fold_in(rng, step), keep, p.shape
-            )
+            mask = keep_mask(seed, p.shape, threshold(keep), offset=step)
             p_num = p * mask / keep
         else:
             p_num = p
@@ -161,9 +168,11 @@ def ulysses_attention(
         s = jnp.where(full_mask[:, None, None, :], s, NEG_INF)
     attn = jax.nn.softmax(s, axis=-1)
     if dropout_rate > 0.0 and rng is not None:
+        from ..ops.hashmask import keep_mask, rng_seed_u32, threshold
+
         keep = 1.0 - dropout_rate
-        rng = jax.random.fold_in(rng, lax.axis_index(axis_name))
-        attn = attn * jax.random.bernoulli(rng, keep, attn.shape) / keep
+        seed = rng_seed_u32(jax.random.fold_in(rng, lax.axis_index(axis_name)))
+        attn = attn * keep_mask(seed, attn.shape, threshold(keep)) / keep
     out = jnp.einsum("bhqk,bhkd->bhqd", attn, vh)
     return to_time(out)
 
