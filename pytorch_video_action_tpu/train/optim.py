@@ -10,7 +10,45 @@ jitted train step never retraces on learning-rate changes.
 
 from __future__ import annotations
 
+import os
+
 import optax
+
+# Flattened optimizer state: Adam over ONE concatenated vector instead of
+# per-leaf trees.  MS-TCN has ~330 parameter leaves (80 layers x 4 tensors)
+# and per-leaf elementwise update ops measured 3.3 ms of a 23.8 ms train
+# step (docs/PERF_NOTES.md); the math is elementwise, so flattening is
+# exact.  PVA_FLAT_OPT=0 restores per-leaf state (note: resume bundles are
+# layout-specific either way — a bundle saved under one layout needs the
+# same setting to load).
+FLAT_OPT = os.environ.get("PVA_FLAT_OPT", "1") == "1"
+
+
+def flatten_transform(tx: optax.GradientTransformation):
+    """Run ``tx`` over a single concatenated vector of all leaves (requires
+    a uniform leaf dtype — true for the f32 master params everywhere here).
+    Exact for elementwise transforms like Adam."""
+    import jax
+    import jax.numpy as jnp
+
+    def _flat(tree):
+        return jnp.concatenate(
+            [l.reshape(-1) for l in jax.tree_util.tree_leaves(tree)])
+
+    def init(params):
+        return tx.init(_flat(params))
+
+    def update(grads, state, params=None):
+        leaves, treedef = jax.tree_util.tree_flatten(grads)
+        fu, state = tx.update(
+            _flat(grads), state, None if params is None else _flat(params))
+        outs, off = [], 0
+        for l in leaves:
+            outs.append(fu[off:off + l.size].reshape(l.shape))
+            off += l.size
+        return jax.tree_util.tree_unflatten(treedef, outs), state
+
+    return optax.GradientTransformation(init, update)
 
 
 def make_optimizer(lr: float, lr_step_size: int, lr_gamma: float):
@@ -25,6 +63,8 @@ def make_optimizer(lr: float, lr_step_size: int, lr_gamma: float):
     tx = optax.inject_hyperparams(optax.adam)(
         learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8
     )
+    if FLAT_OPT:
+        tx = flatten_transform(tx)
     return tx, lr_for_epoch
 
 
