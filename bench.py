@@ -80,7 +80,11 @@ def bench_tpu(model_name: str) -> float:
     model = build_model(model_name, N_CLASS, defaults=True,
                         use_pallas=use_pallas)
     params = model.init(jax.random.PRNGKey(0))
-    tx = optax.adam(1e-3, b1=0.9, b2=0.999, eps=1e-8)
+    # the production trainer path (flat Adam state — train/optim.py), so the
+    # bench measures what `train.py` actually runs
+    from pytorch_video_action_tpu.train.optim import make_optimizer
+
+    tx, _ = make_optimizer(1e-3, 30, 1.0)
     opt_state = tx.init(params)
     loss = make_loss_fn(model_name, N_CLASS)
 
