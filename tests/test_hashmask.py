@@ -1,0 +1,74 @@
+"""ops/hashmask.py: the counter-hash dropout-mask stream shared by the
+conv kernels (in-kernel + XLA recompute), flash attention, and ring/Ulysses.
+The product paths are covered by their own numerics tests; these pin the
+statistical and reproducibility contract of the stream itself."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pytorch_video_action_tpu.ops.hashmask import (
+    fmix32,
+    keep_mask,
+    rng_seed_u32,
+    threshold,
+)
+
+
+def test_keep_fraction_matches_rate():
+    for keep in (0.25, 0.5, 0.7, 0.9):
+        m = np.asarray(keep_mask(jnp.uint32(7), (512, 128), threshold(keep)))
+        assert abs(m.mean() - keep) < 0.01, keep
+
+
+def test_seed_and_offset_decorrelate():
+    thr = threshold(0.5)
+    a = np.asarray(keep_mask(jnp.uint32(1), (256, 128), thr))
+    b = np.asarray(keep_mask(jnp.uint32(2), (256, 128), thr))
+    c = np.asarray(keep_mask(jnp.uint32(1), (256, 128), thr,
+                             offset=jnp.int32(3)))
+    # distinct seeds / offsets give ~independent masks (~50% agreement)
+    assert 0.45 < (a == b).mean() < 0.55
+    assert 0.45 < (a == c).mean() < 0.55
+    # same seed+offset is bit-identical (the backward-recompute contract)
+    a2 = np.asarray(keep_mask(jnp.uint32(1), (256, 128), thr))
+    assert (a == a2).all()
+
+
+def test_no_row_or_column_structure():
+    """The mask must not correlate along rows/columns (a linear-index bug
+    would show up as striping)."""
+    m = np.asarray(
+        keep_mask(jnp.uint32(3), (256, 256), threshold(0.5))).astype(float)
+    assert np.abs(m.mean(axis=0) - 0.5).max() < 0.12
+    assert np.abs(m.mean(axis=1) - 0.5).max() < 0.12
+
+
+def test_rank_consistency():
+    """A rank-4 mask equals the rank-2 mask over the same linear indices
+    (shared stream across the conv kernel's [T,C] and flash's [B,H,T,c])."""
+    thr = threshold(0.5)
+    m4 = np.asarray(keep_mask(jnp.uint32(9), (2, 3, 8, 128), thr))
+    m2 = np.asarray(keep_mask(jnp.uint32(9), (6, 8 * 128), thr))
+    assert (m4.reshape(6, 8 * 128) == m2).all()
+
+
+def test_rng_seed_u32_accepts_key_forms():
+    k = jax.random.PRNGKey(42)
+    s1 = int(rng_seed_u32(k))
+    s2 = int(rng_seed_u32(jax.random.PRNGKey(42)))
+    s3 = int(rng_seed_u32(jax.random.PRNGKey(43)))
+    assert s1 == s2 != s3
+    # works under jit (traced key)
+    s4 = int(jax.jit(rng_seed_u32)(k))
+    assert s4 == s1
+
+
+def test_fmix32_avalanche():
+    """Flipping one input bit flips ~half the output bits."""
+    x = jnp.arange(1024, dtype=jnp.uint32)
+    h0 = np.asarray(fmix32(x)).astype(np.uint64)
+    h1 = np.asarray(fmix32(x ^ jnp.uint32(1 << 13))).astype(np.uint64)
+    flips = np.unpackbits(
+        (h0 ^ h1).astype(">u4").view(np.uint8)).astype(float)
+    assert 0.4 < flips.mean() < 0.6
