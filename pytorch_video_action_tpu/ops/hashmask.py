@@ -51,16 +51,31 @@ def rng_seed_u32(rng) -> jax.Array:
 def keep_mask(seed_u32, shape, thresh: int, offset=None):
     """iid-Bernoulli(keep) boolean mask over ``shape`` (static, any rank).
 
-    Element index is the linear row-major position; ``offset`` (traced
-    scalar ok) shifts the counter stream, e.g. ``offset=step * size`` gives
-    per-block disjoint streams that the backward regenerates exactly.
+    Element index is the linear row-major position; ``offset`` (Python int
+    or traced scalar) selects an independent stream, e.g. ``offset=step``
+    gives per-block streams that the backward regenerates exactly.
+
+    The (seed, offset) pair is avalanched into a scalar key BEFORE touching
+    the counter (one extra scalar fmix32, free per mask).  Folding them in
+    additively — ``idx + seed*GOLDEN`` — made every stream a shifted copy of
+    one global sequence, so two seeds whose delta*GOLDEN mod 2^32 was small
+    produced identical masks over the overlap (advisor finding, round 2).
+    XORing the avalanched key into the counter makes distinct keys
+    index-permuted (not shifted) variants: no contiguous identical runs.
     """
+    key = jnp.uint32(seed_u32)
+    if offset is not None:
+        if isinstance(offset, int):  # avoid int32 overflow in asarray
+            off = jnp.uint32(offset & 0xFFFFFFFF)
+        else:
+            off = jnp.asarray(offset).astype(jnp.uint32)
+        key = key ^ off * jnp.uint32(0x85EBCA77)
+    # scalar avalanche; + GOLDEN keeps seed=0/offset=None off fmix32's
+    # fixed point at 0 (fmix32(0) == 0 would expose the raw counter stream)
+    key = fmix32(key + jnp.uint32(GOLDEN))
     idx = jnp.zeros(shape, jnp.uint32)
     stride = 1
     for axis in range(len(shape) - 1, -1, -1):
         idx = idx + lax.broadcasted_iota(jnp.uint32, shape, axis) * jnp.uint32(stride)
         stride *= shape[axis]
-    h = idx + jnp.uint32(seed_u32) * jnp.uint32(GOLDEN)
-    if offset is not None:
-        h = h + offset.astype(jnp.uint32) * jnp.uint32(0x85EBCA77)
-    return fmix32(h) < jnp.uint32(thresh)
+    return fmix32(idx ^ key) < jnp.uint32(thresh)

@@ -35,6 +35,44 @@ def test_seed_and_offset_decorrelate():
     assert (a == a2).all()
 
 
+def test_engineered_shift_pairs_decorrelate():
+    """Round-2 advisor finding: with the old additive fold (idx + seed*GOLDEN)
+    every stream was a shifted copy of one global sequence, so seed pairs with
+    delta*GOLDEN mod 2^32 == k were bit-identical k elements apart.  Construct
+    exactly those adversarial pairs and assert the streams no longer align at
+    ANY small shift."""
+    thr = threshold(0.5)
+    inv_g = pow(0x9E3779B9, -1, 2 ** 32)
+    inv_c = pow(0x85EBCA77, -1, 2 ** 32)
+    for k in (1, 7, 128):
+        d = (inv_g * k) % 2 ** 32
+        a = np.asarray(keep_mask(jnp.uint32(5), (64, 1024), thr)).ravel()
+        b = np.asarray(
+            keep_mask(jnp.uint32((5 + d) % 2 ** 32), (64, 1024), thr)).ravel()
+        assert 0.45 < (a == b).mean() < 0.55, k
+        assert 0.45 < (a[k:] == b[:-k]).mean() < 0.55, k  # old scheme: 1.0
+    for k in (1, 16):
+        d = (inv_c * k) % 2 ** 32
+        a = np.asarray(keep_mask(jnp.uint32(5), (64, 1024), thr,
+                                 offset=0)).ravel()
+        b = np.asarray(keep_mask(jnp.uint32(5), (64, 1024), thr,
+                                 offset=d)).ravel()
+        assert 0.45 < (a[k:] == b[:-k]).mean() < 0.55, k
+
+
+def test_offset_accepts_python_int_and_traced():
+    """offset may be a plain Python int (docstring usage) or a traced scalar;
+    both select the same stream."""
+    thr = threshold(0.5)
+    a = np.asarray(keep_mask(jnp.uint32(1), (64, 64), thr, offset=3))
+    b = np.asarray(keep_mask(jnp.uint32(1), (64, 64), thr,
+                             offset=jnp.int32(3)))
+    c = np.asarray(jax.jit(
+        lambda o: keep_mask(jnp.uint32(1), (64, 64), thr, offset=o)
+    )(jnp.int32(3)))
+    assert (a == b).all() and (a == c).all()
+
+
 def test_no_row_or_column_structure():
     """The mask must not correlate along rows/columns (a linear-index bug
     would show up as striping)."""
