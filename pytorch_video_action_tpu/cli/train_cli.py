@@ -185,11 +185,24 @@ def main(argv=None):
 
         sharding = DataParallel(args.data_parallel)
 
+    # resume bundles record their optimizer-state layout; build a matching
+    # optimizer so a bundle saved under the other PVA_FLAT_OPT setting loads
+    opt_flat = None
+    if args.resume is not None:
+        stored_layout = ckpt.peek_opt_layout(args.resume)
+        if stored_layout is not None:
+            opt_flat = stored_layout == 'flat'
+            from ..train.optim import layout_name
+            if stored_layout != layout_name():
+                print(f"Resume bundle uses '{stored_layout}' optimizer "
+                      f"layout; overriding PVA_FLAT_OPT for this run")
+
     trainer = Trainer(
         model, n_class,
         lr=args.lr, lr_step_size=args.lr_step_size, lr_gamma=args.lr_gamma,
         seed=args.seed, sharding=sharding,
         compute_dtype=None if args.dtype == 'float32' else args.dtype,
+        opt_flat=opt_flat,
     )
     ts = trainer.init_state()
 
@@ -218,7 +231,7 @@ def main(argv=None):
 
             dev_acc, frame_acc = eval_beam_search(
                 model, ts.params, dev_feed, args.lm_path, args.beam_size,
-                model_state=ts.model_state,
+                model_state=ts.model_state, sharding=sharding,
             )
         else:
             dev_acc, frame_acc = evaluate(model, ts.params, dev_feed,
@@ -302,7 +315,8 @@ def _train_loop(args, trainer, ts, train_feed, dev_feed, model,
                 n_batches += 1
                 if stop_requested["flag"]:
                     ckpt.save_resume(args.resume, ts.params, ts.opt_state, epoch,
-                                     model_state=ts.model_state)
+                                     model_state=ts.model_state,
+                                     opt_layout=trainer.opt_layout)
                     metrics.log("preempted", epoch=epoch, batches=n_batches)
                     print(f"Saved resume bundle to {args.resume} "
                           f"(epoch {epoch}, {n_batches} batches)")
@@ -335,7 +349,8 @@ def _train_loop(args, trainer, ts, train_feed, dev_feed, model,
             previous_dev = dev_acc
         if args.resume is not None:
             ckpt.save_resume(args.resume, ts.params, ts.opt_state, epoch + 1,
-                             model_state=ts.model_state, async_=True)
+                             model_state=ts.model_state, async_=True,
+                             opt_layout=trainer.opt_layout)
 
     ckpt.flush()
     print('Finished Training, Dev Accuracy: ', previous_dev)

@@ -23,6 +23,9 @@ import numpy as np
 # in-flight async checkpoint writers (join via flush())
 _PENDING: list[threading.Thread] = []
 _PENDING_LOCK = threading.Lock()
+# first background-write failure (e.g. disk full); surfaced by flush() so a
+# checkpoint logged as saved can't silently not exist on disk
+_WRITE_ERROR: list[BaseException] = []
 
 
 def _atomic_savez(path: str, flat: dict) -> None:
@@ -43,30 +46,52 @@ def _write(path: str, flat: dict, async_: bool) -> None:
     if not async_:
         # a later synchronous save must land after any in-flight async one
         # (e.g. the preemption save racing the previous epoch's resume
-        # bundle) — drain first so the newest state wins the rename
-        flush()
+        # bundle) — drain first so the newest state wins the rename.  If an
+        # EARLIER async write failed, still land this save (it may be the
+        # final preemption bundle) before re-raising.
+        try:
+            flush()
+        except RuntimeError:
+            _atomic_savez(path, flat)
+            raise
         _atomic_savez(path, flat)
         return
     with _PENDING_LOCK:
         prev = _PENDING[-1] if _PENDING else None
 
         def run():
-            if prev is not None:
-                prev.join()  # serialize: older writes land first
-            _atomic_savez(path, flat)
+            try:
+                if prev is not None:
+                    prev.join()  # serialize: older writes land first
+                _atomic_savez(path, flat)
+            except BaseException as e:  # noqa: BLE001 — surfaced via flush()
+                with _PENDING_LOCK:
+                    if not _WRITE_ERROR:
+                        _WRITE_ERROR.append(e)
 
         t = threading.Thread(target=run, daemon=True)
         _PENDING.append(t)
-    t.start()
+        # start while holding the lock: a concurrent _write may capture this
+        # thread as `prev` the moment the lock drops, and joining a
+        # never-started thread raises RuntimeError (advisor finding, round 2)
+        t.start()
 
 
 def flush() -> None:
     """Join all in-flight async checkpoint writes (call before process exit
-    or before re-reading a bundle just saved)."""
+    or before re-reading a bundle just saved).  Re-raises the first
+    background-write failure, so callers learn a 'saved' checkpoint never
+    landed on disk."""
     with _PENDING_LOCK:
         pending, _PENDING[:] = _PENDING[:], []
     for t in pending:
         t.join()
+    with _PENDING_LOCK:
+        if _WRITE_ERROR:
+            err = _WRITE_ERROR.pop(0)
+            _WRITE_ERROR.clear()
+            raise RuntimeError(
+                f"async checkpoint write failed: {err!r}") from err
 
 
 def _flatten(tree, prefix=""):
@@ -154,7 +179,7 @@ def load_params(path: str, with_state: bool = False):
 
 def save_resume(path: str, params, opt_state, epoch: int,
                 extra: dict | None = None, model_state=None,
-                async_: bool = False):
+                async_: bool = False, opt_layout: str | None = None):
     """Full resumable bundle (params + optimizer state + progress) — a
     capability the reference lacks (its Adam restarts on resume).
 
@@ -174,12 +199,29 @@ def save_resume(path: str, params, opt_state, epoch: int,
     opt_leaves = jax.tree_util.tree_leaves(jax.device_get(opt_state))
     for i, leaf in enumerate(opt_leaves):
         flat[f"opt/{i:05d}"] = np.asarray(leaf)
+    if opt_layout is None:
+        from .optim import layout_name
+        opt_layout = layout_name()
+    flat["opt_layout"] = np.asarray(opt_layout)
     flat["epoch"] = np.asarray(epoch, dtype=np.int64)
     if extra:
         flat["extra_json"] = np.frombuffer(
             json.dumps(extra).encode(), dtype=np.uint8
         )
     _write(path, flat, async_)
+
+
+def peek_opt_layout(path: str) -> str | None:
+    """Read just the optimizer-state layout tag (``"flat"``/``"per_leaf"``)
+    from a resume bundle, or None for pre-tag bundles.  Lets the CLI build a
+    matching optimizer BEFORE loading (``cli/train_cli.py``), so resuming a
+    bundle saved under the other ``PVA_FLAT_OPT`` setting just works."""
+    if not os.path.exists(path):
+        return None
+    with np.load(path, allow_pickle=False) as z:
+        if "opt_layout" in z.files:
+            return str(z["opt_layout"])
+    return None
 
 
 def load_resume(path: str, opt_state_like=None):
@@ -202,10 +244,23 @@ def load_resume(path: str, opt_state_like=None):
     ]
     if opt_state_like is not None:
         treedef = jax.tree_util.tree_structure(opt_state_like)
-        assert treedef.num_leaves == len(opt_leaves), (
-            f"optimizer state mismatch: bundle has {len(opt_leaves)} leaves, "
-            f"template expects {treedef.num_leaves} (different optimizer?)"
-        )
+        if treedef.num_leaves != len(opt_leaves):
+            stored = str(flat["opt_layout"]) if "opt_layout" in flat else None
+            if stored is not None:
+                raise ValueError(
+                    f"resume bundle {path} stores optimizer state in the "
+                    f"'{stored}' layout ({len(opt_leaves)} leaves) but the "
+                    f"template expects {treedef.num_leaves} leaves — likely "
+                    f"built under the other PVA_FLAT_OPT setting.  Set "
+                    f"PVA_FLAT_OPT={'1' if stored == 'flat' else '0'}, or "
+                    f"pass a template from make_optimizer(..., "
+                    f"flat={stored == 'flat'})."
+                )
+            raise ValueError(
+                f"optimizer state mismatch: bundle has {len(opt_leaves)} "
+                f"leaves, template expects {treedef.num_leaves} "
+                f"(different optimizer?)"
+            )
         opt_state = jax.tree_util.tree_unflatten(treedef, opt_leaves)
     else:
         opt_state = opt_leaves

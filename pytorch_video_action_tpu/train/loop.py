@@ -53,6 +53,7 @@ class Trainer:
         seed: int = 0,
         sharding=None,
         compute_dtype=None,
+        opt_flat: bool | None = None,
     ):
         """``compute_dtype`` (e.g. ``jnp.bfloat16`` or ``'bfloat16'``) enables
         mixed-precision training: master params, optimizer state, softmax and
@@ -62,7 +63,13 @@ class Trainer:
         self.n_class = n_class
         self.is_ctc = model.name == "ctcloss"
         self.loss_fn = make_loss_fn(model.name, n_class)
-        self.tx, self.lr_for_epoch = make_optimizer(lr, lr_step_size, lr_gamma)
+        # opt_flat: optimizer-state layout override (None -> PVA_FLAT_OPT);
+        # the CLI passes the layout recorded in a resume bundle here
+        from .optim import layout_name
+
+        self.tx, self.lr_for_epoch = make_optimizer(
+            lr, lr_step_size, lr_gamma, flat=opt_flat)
+        self.opt_layout = layout_name(opt_flat)
         self.sharding = sharding
         self.compute_dtype = (
             jnp.dtype(compute_dtype) if compute_dtype is not None else None

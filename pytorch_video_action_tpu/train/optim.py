@@ -18,10 +18,18 @@ import optax
 # per-leaf trees.  MS-TCN has ~330 parameter leaves (80 layers x 4 tensors)
 # and per-leaf elementwise update ops measured 3.3 ms of a 23.8 ms train
 # step (docs/PERF_NOTES.md); the math is elementwise, so flattening is
-# exact.  PVA_FLAT_OPT=0 restores per-leaf state (note: resume bundles are
-# layout-specific either way — a bundle saved under one layout needs the
-# same setting to load).
+# exact.  PVA_FLAT_OPT=0 restores per-leaf state.  Resume bundles record
+# their layout (``opt_layout`` key) and the train CLI builds the matching
+# optimizer automatically on resume.
 FLAT_OPT = os.environ.get("PVA_FLAT_OPT", "1") == "1"
+
+
+def layout_name(flat: bool | None = None) -> str:
+    """Canonical name of an optimizer-state layout, as stored in resume
+    bundles: ``"flat"`` or ``"per_leaf"``."""
+    if flat is None:
+        flat = FLAT_OPT
+    return "flat" if flat else "per_leaf"
 
 
 def flatten_transform(tx: optax.GradientTransformation):
@@ -51,9 +59,13 @@ def flatten_transform(tx: optax.GradientTransformation):
     return optax.GradientTransformation(init, update)
 
 
-def make_optimizer(lr: float, lr_step_size: int, lr_gamma: float):
+def make_optimizer(lr: float, lr_step_size: int, lr_gamma: float,
+                   flat: bool | None = None):
     """Returns an optax transform whose lr is ``lr * gamma^(epoch//step)``,
-    where 'epoch' is supplied via ``set_epoch``-style scale updates."""
+    where 'epoch' is supplied via ``set_epoch``-style scale updates.
+
+    ``flat`` overrides the ``PVA_FLAT_OPT`` state-layout default (used when
+    resuming a bundle saved under the other layout)."""
 
     def lr_for_epoch(epoch: int) -> float:
         if lr_step_size > 0 and lr_gamma < 1:
@@ -63,7 +75,7 @@ def make_optimizer(lr: float, lr_step_size: int, lr_gamma: float):
     tx = optax.inject_hyperparams(optax.adam)(
         learning_rate=lr, b1=0.9, b2=0.999, eps=1e-8
     )
-    if FLAT_OPT:
+    if FLAT_OPT if flat is None else flat:
         tx = flatten_transform(tx)
     return tx, lr_for_epoch
 

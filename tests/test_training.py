@@ -402,6 +402,36 @@ def test_eval_beam_search_stateful_model(synthetic_root, tmp_path):
     assert 0.0 <= seg_acc <= 100.0 and 0.0 <= frame_acc <= 100.0
 
 
+def test_eval_beam_search_dp_matches_single_device(synthetic_root, tmp_path):
+    """--eval --lm_path rides the mesh (VERDICT r2 item 10): beam-eval
+    accuracies with the prediction forward sharded over 8 devices equal the
+    single-device ones exactly (the beam itself is host-side and
+    deterministic)."""
+    from pytorch_video_action_tpu.infer.beam import eval_beam_search
+    from pytorch_video_action_tpu.lm.train_arpa import train_arpa
+    from pytorch_video_action_tpu.parallel import DataParallel
+
+    train_ds, dev_ds = _datasets(synthetic_root)
+    n_class = train_ds.n_class
+    model = build_model("bigru", n_class)
+    trainer = Trainer(model, n_class, lr=1e-3, seed=0)
+    ts = trainer.init_state()
+    for b in BatchFeed(train_ds, batch_size=2, bucket_multiple=32):
+        trainer.train_step(ts, b)
+
+    arpa = str(tmp_path / "lm.arpa")
+    train_arpa(["1 2 3", "1 2", "2 3 4", "1 3"], arpa, order=2)
+
+    def run(sharding):
+        return eval_beam_search(
+            model, ts.params,
+            BatchFeed(dev_ds, batch_size=3, bucket_multiple=32),  # ragged b
+            arpa, beam_size=3, sharding=sharding,
+        )
+
+    assert run(None) == run(DataParallel(8))
+
+
 def test_async_atomic_checkpointing(tmp_path):
     """Async saves serialize (last write wins after flush) and the rename is
     atomic — a pre-existing bundle is never left half-written."""
@@ -432,3 +462,52 @@ def test_async_atomic_checkpointing(tmp_path):
     assert bundle["epoch"] == 7
     # no temp files left behind
     assert [p.name for p in tmp_path.iterdir() if ".tmp." in p.name] == []
+
+
+def test_async_write_failure_surfaces(tmp_path, monkeypatch):
+    """A failed background write (e.g. disk full) must not be silent: the
+    next flush() re-raises it (advisor finding, round 2)."""
+    import pytorch_video_action_tpu.train.checkpoint as ckpt
+
+    def boom(path, flat):
+        raise OSError("disk full (simulated)")
+
+    monkeypatch.setattr(ckpt, "_atomic_savez", boom)
+    ckpt.save_params(str(tmp_path / "x.npz"), {"w": jnp.ones((2,))},
+                     async_=True)
+    with pytest.raises(RuntimeError, match="disk full"):
+        ckpt.flush()
+    # error is consumed: a later flush with no pending work is clean
+    ckpt.flush()
+
+
+def test_opt_layout_roundtrip_across_flat_settings(tmp_path):
+    """Resume bundles record the optimizer-state layout; loading under the
+    other PVA_FLAT_OPT setting either converts via a matching template (the
+    CLI path, using peek_opt_layout) or fails naming the env var — never the
+    bare leaf-count assert (advisor finding, round 2)."""
+    import pytorch_video_action_tpu.train.checkpoint as ckpt
+    from pytorch_video_action_tpu.train import optim
+
+    params = {"w": jnp.ones((3, 2)), "b": jnp.zeros((2,))}
+    tx_flat, _ = optim.make_optimizer(1e-3, 0, 1.0, flat=True)
+    tx_leaf, _ = optim.make_optimizer(1e-3, 0, 1.0, flat=False)
+    st_flat, st_leaf = tx_flat.init(params), tx_leaf.init(params)
+
+    for layout, st_save, st_match, st_clash in (
+        ("flat", st_flat, st_flat, st_leaf),
+        ("per_leaf", st_leaf, st_leaf, st_flat),
+    ):
+        path = str(tmp_path / f"r_{layout}.npz")
+        ckpt.save_resume(path, params, st_save, 3, opt_layout=layout)
+        assert ckpt.peek_opt_layout(path) == layout
+        # matching template (what the CLI builds after peeking): loads
+        import jax
+
+        bundle = ckpt.load_resume(path, opt_state_like=st_match)
+        restored = jax.tree_util.tree_leaves(bundle["opt_state"])
+        for a, b in zip(restored, jax.tree_util.tree_leaves(st_save)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # clashing template: actionable error, not a bare assert
+        with pytest.raises(ValueError, match="PVA_FLAT_OPT"):
+            ckpt.load_resume(path, opt_state_like=st_clash)
