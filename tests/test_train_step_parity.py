@@ -188,6 +188,76 @@ def test_step_parity_ms_tcn():
     _run_case("ms_tcn", net, jd, "ce")
 
 
+def test_step_parity_win_attn():
+    """ExpWindowAttention (networks.py:205-240): gradient flows only through
+    the strided window rows (f-w for f in range(w, T, w)); everything else is
+    log_softmax of zeros.  Step parity pins that sparse gradient pattern."""
+    net = ref_nets.ExpWindowAttention(D, 4, n_class=N_CLASS)
+    jd = build_model("win_attn", N_CLASS, attn_head=4)
+    _run_case("win_attn", net, jd, "nll")
+
+
+def test_step_parity_bilstm_lm():
+    """BiLSTMWithLM (networks.py:89-141) — the subtlest training path in the
+    zoo: BN batch-stat gradients + the detached context loop.  Train-mode
+    forward at batch 1 (the only size where the reference's flattened-row
+    context loop is self-consistent), dropout off; one Adam step must move
+    the params identically AND update the BN running buffers identically
+    (the reference's optimizer never touches buffers — they update in
+    forward)."""
+    b = 1
+    rng = np.random.default_rng(11)
+    x = rng.normal(0, 1, size=(b, T, D)).astype(np.float32)
+    lengths = np.full((b,), T, dtype=np.int32)
+    targets = rng.integers(0, N_CLASS, size=(b * T,)).astype(np.int64)
+    targets[::5] = -1
+
+    net = ref_nets.BiLSTMWithLM(
+        D, lstm_layer=2, hidden_dim_1=64, hidden_dim_2=32, n_class=N_CLASS,
+        dropout_rate=0.0,
+    )
+    jd = build_model("bilstm_lm", N_CLASS, lstm_layer=2, lstm_hidden1=64,
+                     lstm_hidden2=32, lstm_dropout=0.0)
+    from pytorch_video_action_tpu.models.torch_compat import (
+        import_torch_state_dict as imp,
+    )
+
+    params, state = imp("bilstm_lm", jd.config, net.state_dict())
+
+    # --- torch oracle: train() so BN uses batch stats (grads flow through
+    # them) and running buffers update, exactly like train.py:296-330
+    net.train()
+    opt = torch.optim.Adam(net.parameters(), lr=LR, betas=(0.9, 0.999),
+                           eps=1e-8)
+    opt.zero_grad()
+    out = net(torch.tensor(x), list(map(int, lengths)))
+    crit = torch.nn.NLLLoss(ignore_index=-1)
+    ref_loss = crit(out.reshape(-1, out.shape[-1]), torch.tensor(targets))
+    ref_loss.backward()
+    opt.step()
+
+    # --- ours
+    loss_fn = make_loss_fn("bilstm_lm", N_CLASS)
+    tx, _ = make_optimizer(LR, 30, 1.0)
+    opt_state = tx.init(params)
+
+    def lf(p):
+        out, new_state = jd.apply(
+            p, jnp.asarray(x), jnp.asarray(lengths), train=True, rng=None,
+            state=state,
+        )
+        return loss_fn(out.astype(jnp.float32), jnp.asarray(targets)), new_state
+
+    (our_loss, new_state), grads = jax.value_and_grad(lf, has_aux=True)(params)
+    updates, _ = tx.update(grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+
+    assert abs(float(our_loss) - float(ref_loss)) < 1e-4
+    ref_params, ref_state = imp("bilstm_lm", jd.config, net.state_dict())
+    _assert_tree_close(new_params, ref_params)
+    _assert_tree_close(new_state, ref_state, atol=1e-5)
+
+
 def test_step_parity_ctcloss():
     net = ref_nets.BiGRU(D, n_class=N_CLASS + 1)
     jd = build_model("ctcloss", N_CLASS)

@@ -59,12 +59,17 @@ def _batches(seed=0):
     return out
 
 
-def _torch_train(net, batches, takes_len):
+def _torch_train(net, batches, takes_len, loss_kind="nll"):
     net.eval()  # dropout off; grads still flow (train.py uses .train(), but
     # dropout makes trajectories incomparable — parity needs determinism)
     opt = torch.optim.Adam(net.parameters(), lr=LR, betas=(0.9, 0.999),
                            eps=1e-8)
-    crit = torch.nn.NLLLoss(ignore_index=-1)
+    if loss_kind == "ce":  # ms_tcn (train.py:266-267)
+        crit = torch.nn.CrossEntropyLoss(ignore_index=-1)
+    elif loss_kind == "ctc":  # train.py:269 + the :311-323 target prep
+        crit = torch.nn.CTCLoss(blank=N_CLASS, zero_infinity=True)
+    else:
+        crit = torch.nn.NLLLoss(ignore_index=-1)
     losses = []
     for _ in range(EPOCHS):
         for x, targets in batches:
@@ -73,24 +78,42 @@ def _torch_train(net, batches, takes_len):
                 out = net(torch.tensor(x), [T] * B)
             else:
                 out = net(torch.tensor(x))
-            loss = crit(out.reshape(-1, out.shape[-1]), torch.tensor(targets))
+            if loss_kind == "ctc":
+                out = out.reshape(B, T, -1).permute(1, 0, 2)
+                labels = torch.tensor(targets).reshape(B, -1)
+                flat_t = torch.tensor([], dtype=torch.int64)
+                t_len = []
+                for j in range(B):
+                    u = torch.unique_consecutive(labels[j])
+                    flat_t = torch.cat((flat_t, u))
+                    t_len.append(u.shape[0])
+                loss = crit(out, flat_t, torch.tensor([T] * B),
+                            torch.tensor(t_len))
+            else:
+                loss = crit(out.reshape(-1, out.shape[-1]),
+                            torch.tensor(targets))
             loss.backward()
             opt.step()
             losses.append(float(loss.detach()))
     return losses
 
 
-def _jax_train(model, params, batches):
+def _jax_train(model, params, batches, is_ctc=False):
+    from pytorch_video_action_tpu.train.losses import prepare_ctc_targets
+
     loss_fn = make_loss_fn(model.name, N_CLASS)
     tx, _ = make_optimizer(LR, 30, 1.0)
     opt_state = tx.init(params)
     lengths = jnp.full((B,), T, jnp.int32)
 
     @jax.jit
-    def step(params, opt_state, x, targets):
+    def step(params, opt_state, x, targets, ctc_t, ctc_tl):
         def lf(p):
             out = model.apply(p, x, lengths, train=False)
-            return loss_fn(out.astype(jnp.float32), targets)
+            out = out.astype(jnp.float32)
+            if is_ctc:
+                return loss_fn(out, lengths, ctc_t, ctc_tl)
+            return loss_fn(out, targets)
 
         loss, grads = jax.value_and_grad(lf)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
@@ -99,29 +122,46 @@ def _jax_train(model, params, batches):
     losses = []
     for _ in range(EPOCHS):
         for x, targets in batches:
+            if is_ctc:
+                ctc_t, ctc_tl = prepare_ctc_targets(targets, B)
+            else:
+                ctc_t = ctc_tl = np.zeros((B, 1), np.int32)
             params, opt_state, loss = step(
-                params, opt_state, jnp.asarray(x), jnp.asarray(targets)
+                params, opt_state, jnp.asarray(x), jnp.asarray(targets),
+                jnp.asarray(ctc_t), jnp.asarray(ctc_tl),
             )
             losses.append(float(loss))
     return params, losses
 
 
-def _run(model_name, net, jd, takes_len=True, seed=0):
+def _run(model_name, net, jd, takes_len=True, seed=0, loss_kind="nll",
+         tol0=1e-4, param_atol=2e-3, min_descent=0.05):
     batches = _batches(seed)
     params = import_torch_state_dict(model_name, jd.config, net.state_dict())
-    ref_losses = _torch_train(net, batches, takes_len)
-    new_params, our_losses = _jax_train(jd, params, batches)
+    ref_losses = _torch_train(net, batches, takes_len, loss_kind)
+    new_params, our_losses = _jax_train(jd, params, batches,
+                                        is_ctc=(loss_kind == "ctc"))
 
     # loss trajectories: float drift compounds step over step, so the band
-    # widens with step index (1e-4 at step 0, ~1e-3 by the last step)
+    # widens with step index (tol0 at step 0, ~9*tol0 by the last step)
     for i, (ours, ref) in enumerate(zip(our_losses, ref_losses)):
-        tol = 1e-4 * (1 + i)
+        tol = tol0 * (1 + i)
         assert abs(ours - ref) < tol, (
             f"step {i}: {ours} vs {ref} (tol {tol})"
         )
-    # the trajectory must actually descend (guards against comparing two
-    # equally-broken no-op trainers)
-    assert our_losses[-1] < our_losses[0] - 0.05
+    # guard against comparing two equally-broken no-op trainers: training
+    # must actually move the parameters by Adam-step magnitude...
+    moved = max(
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(new_params),
+                        jax.tree_util.tree_leaves(params))
+    )
+    assert moved > LR / 2, f"params barely moved ({moved:.2e})"
+    # ...and, where the model is big enough to fit 9 steps of random data,
+    # the loss must descend (None for the small LSTMs: they track the oracle
+    # exactly but wander within float noise at this LR/step count)
+    if min_descent is not None:
+        assert our_losses[-1] < our_losses[0] - min_descent
 
     ref_params = import_torch_state_dict(model_name, jd.config,
                                          net.state_dict())
@@ -135,10 +175,20 @@ def _run(model_name, net, jd, takes_len=True, seed=0):
             for i, (a, b) in enumerate(zip(ours, ref)):
                 cmp(a, b, f"{path}[{i}]")
         else:
-            np.testing.assert_allclose(
-                np.asarray(ours), np.asarray(ref), atol=2e-3, rtol=0,
-                err_msg=f"post-training param mismatch at {path}",
+            diff = np.abs(np.asarray(ours, np.float64)
+                          - np.asarray(ref, np.float64))
+            # Adam sign-flip tolerance (see test_train_step_parity.py):
+            # a near-zero-gradient element can diverge by ~LR per step
+            # between two CORRECT f32 trainers; a real bug moves MANY
+            # elements.  >=99.9% within param_atol, all within the
+            # compounded per-step ceiling.
+            n_over = int((diff > param_atol).sum())
+            allowed = max(1, diff.size // 1000) if diff.size >= 100 else 0
+            assert n_over <= allowed, (
+                f"post-training param mismatch at {path}: {n_over}/"
+                f"{diff.size} beyond atol={param_atol} (max {diff.max():.2e})"
             )
+            assert diff.max() <= 2.5 * LR * EPOCHS * BATCHES, path
 
     cmp(new_params, ref_params)
 
@@ -155,3 +205,78 @@ def test_trajectory_parity_bigru():
     net = ref_nets.BiGRU(D, n_class=N_CLASS)
     jd = build_model("bigru", N_CLASS)
     _run("bigru", net, jd, seed=1)
+
+
+def test_trajectory_parity_vanilla_lstm():
+    torch.manual_seed(2)
+    net = ref_nets.vanillaLSTM(
+        D, lstm_layer=2, hidden_dim=32, n_class=N_CLASS, dropout_rate=0.0
+    )
+    jd = build_model("vanilla_lstm", N_CLASS, lstm_layer=2, lstm_hidden1=32,
+                     lstm_dropout=0.0)
+    _run("vanilla_lstm", net, jd, seed=2, min_descent=None)
+
+
+def test_trajectory_parity_bilstm():
+    torch.manual_seed(3)
+    net = ref_nets.BiLSTM(
+        D, lstm_layer=2, hidden_dim_1=64, dropout_rate=0.0, hidden_dim_2=32,
+        n_class=N_CLASS,
+    )
+    jd = build_model("bilstm", N_CLASS, lstm_layer=2, lstm_hidden1=64,
+                     lstm_hidden2=32, lstm_dropout=0.0)
+    _run("bilstm", net, jd, seed=3, min_descent=0.02)
+
+
+def test_trajectory_parity_attn():
+    torch.manual_seed(4)
+    net = ref_nets.MultiHeadAttention(D, 4, n_class=N_CLASS)
+    jd = build_model("attn", N_CLASS, attn_head=4)
+    _run("attn", net, jd, seed=4)
+
+
+def test_trajectory_parity_ms_tcn():
+    """Deepest stack in the zoo (4 stages x 20 layers): compounding drift is
+    most plausible here — CE loss over raw stage logits
+    (/root/reference/train.py:266-267, networks.py:298-347)."""
+    torch.manual_seed(5)
+    net = ref_nets.MultiStageModel(D, n_class=N_CLASS)
+    jd = build_model("ms_tcn", N_CLASS)
+    _run("ms_tcn", net, jd, seed=5, loss_kind="ce")
+
+
+def test_trajectory_parity_ctcloss():
+    """CTC trajectories (train.py:311-323): alignment marginals feed the
+    gradient, so label-prep or log-space drift compounds fast."""
+    torch.manual_seed(6)
+    net = ref_nets.BiGRU(D, n_class=N_CLASS + 1)
+    jd = build_model("ctcloss", N_CLASS)
+    # CTC target prep assumes no -1 padding at equal lengths; _batches
+    # injects -1s for ignore_index, so rebuild targets without them
+    batches = _batches(6)
+    rng = np.random.default_rng(7)
+    batches = [
+        (x, np.where(t == -1, rng.integers(0, N_CLASS, t.shape), t))
+        for x, t in batches
+    ]
+    params = import_torch_state_dict("ctcloss", jd.config, net.state_dict())
+    ref_losses = _torch_train(net, batches, True, "ctc")
+    new_params, our_losses = _jax_train(jd, params, batches, is_ctc=True)
+    for i, (ours, ref) in enumerate(zip(our_losses, ref_losses)):
+        tol = 1e-3 * (1 + i)  # CTC logsumexp chains: wider float band
+        assert abs(ours - ref) < tol, f"step {i}: {ours} vs {ref}"
+    assert our_losses[-1] < our_losses[0] - 0.05
+    ref_params = import_torch_state_dict("ctcloss", jd.config,
+                                         net.state_dict())
+    diffs = [
+        np.abs(np.asarray(a, np.float64) - np.asarray(b, np.float64))
+        for a, b in zip(
+            jax.tree_util.tree_leaves(new_params),
+            jax.tree_util.tree_leaves(ref_params),
+        )
+    ]
+    for d in diffs:
+        n_over = int((d > 2e-3).sum())
+        allowed = max(1, d.size // 1000) if d.size >= 100 else 0
+        assert n_over <= allowed, (n_over, d.size, d.max())
+        assert d.max() <= 2.5 * LR * EPOCHS * BATCHES
