@@ -99,6 +99,22 @@ def mstcn_forward_sp(params, cfg, x: jax.Array, lengths: jax.Array,
         mask = _sp_mask(lengths, t_loc)
 
         def stage(stage_params, inp, rng_stage):
+            use_dropout = train and rng_stage is not None and cfg.dropout_rate > 0
+            if use_dropout:
+                # one threefry fold on a scalar decorrelates time shards; the
+                # per-layer masks come from the counter-hash stream — the
+                # per-layer bernoulli draws this replaces measured +37% step
+                # time on the single-chip XLA path (docs/PERF_NOTES.md), and
+                # the SP path regenerates masks in the recompute backward the
+                # same way
+                from ..ops.conv import HASH_DROPOUT
+                from ..ops.hashmask import keep_mask, rng_seed_u32, threshold
+
+                keep = 1.0 - cfg.dropout_rate
+                if HASH_DROPOUT:
+                    seed = rng_seed_u32(
+                        jax.random.fold_in(rng_stage, lax.axis_index("seq"))
+                    )
             out = inp @ stage_params["conv_in"]["w"][0] + stage_params["conv_in"]["b"]
             for i, layer in enumerate(stage_params["layers"]):
                 h = jax.nn.relu(
@@ -108,12 +124,16 @@ def mstcn_forward_sp(params, cfg, x: jax.Array, lengths: jax.Array,
                     )
                 )
                 h = h @ layer["conv_1x1"]["w"][0] + layer["conv_1x1"]["b"]
-                if train and rng_stage is not None:
-                    sub = jax.random.fold_in(rng_stage, i)
-                    # decorrelate dropout across time shards
-                    sub = jax.random.fold_in(sub, lax.axis_index("seq"))
-                    keep = 1.0 - cfg.dropout_rate
-                    h = h * jax.random.bernoulli(sub, keep, h.shape) / keep
+                if use_dropout:
+                    if HASH_DROPOUT:
+                        km = keep_mask(seed, h.shape, threshold(keep), offset=i)
+                        h = jnp.where(km, h * (1.0 / keep),
+                                      jnp.zeros((), h.dtype))
+                    else:
+                        sub = jax.random.fold_in(rng_stage, i)
+                        # decorrelate dropout across time shards
+                        sub = jax.random.fold_in(sub, lax.axis_index("seq"))
+                        h = h * jax.random.bernoulli(sub, keep, h.shape) / keep
                 out = (out + h) * mask
             return (
                 out @ stage_params["conv_out"]["w"][0] + stage_params["conv_out"]["b"]
