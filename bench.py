@@ -128,6 +128,85 @@ def bench_tpu(model_name: str) -> float:
     return _median_throughput(timed, b * t * STEPS, RUNS)
 
 
+def bench_tpu_eval(model_name: str) -> float:
+    """Eval/inference forward throughput (the reference's actual deliverable,
+    ``inference.py``): guards the stage-fused MS-TCN eval kernel and the
+    bigru eval path in BENCH_r*.json (VERDICT r2 item 6)."""
+    from __graft_entry__ import _enable_compile_cache
+
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    from pytorch_video_action_tpu.models import build_model
+
+    b, t = SHAPES[model_name]
+    # defaults=True -> Pallas auto-enabled on TPU (stage-fused eval kernel)
+    model = build_model(model_name, N_CLASS, defaults=True)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, t, 400)).astype(np.float32))
+    lengths = jnp.full((b,), t, dtype=jnp.int32)
+
+    @jax.jit
+    def run(params, x, lengths):
+        def body(i, acc):
+            # loop-carried dependence (acc is finite, so this adds 0 at
+            # runtime but the compiler cannot hoist the forward out)
+            l2 = lengths + jnp.isnan(acc).astype(jnp.int32)
+            out = model.apply(params, x, l2, train=False)
+            return acc + out.mean().astype(jnp.float32)
+
+        return jax.lax.fori_loop(0, STEPS, body, jnp.float32(0))
+
+    assert np.isfinite(float(run(params, x, lengths)))  # compile + check
+
+    def timed():
+        assert np.isfinite(float(run(params, x, lengths)))
+
+    return _median_throughput(timed, b * t * STEPS, RUNS)
+
+
+def bench_device_beam() -> float:
+    """TPU-vectorized LM beam decode (``lm/device_beam.py``): videos/sec over
+    a Breakfast-sized decode batch (48 labels, trigram ARPA)."""
+    import tempfile
+
+    from pytorch_video_action_tpu.lm.device_beam import (
+        dense_trigram_table, device_beam_search, pack_candidates,
+    )
+    from pytorch_video_action_tpu.lm.train_arpa import train_arpa
+
+    rng = np.random.default_rng(0)
+    corpus = [
+        " ".join(str(v) for v in rng.integers(0, N_CLASS, size=rng.integers(4, 14)))
+        for _ in range(300)
+    ]
+    with tempfile.TemporaryDirectory() as d:
+        arpa = os.path.join(d, "bench.arpa")
+        train_arpa(corpus, arpa, order=3)
+        table, ids = dense_trigram_table(arpa, N_CLASS)
+    n_videos, n_seg = 64, 12
+    per_video = [
+        [sorted(set(rng.integers(0, N_CLASS, size=rng.integers(1, 6)).tolist()))
+         for _ in range(n_seg)]
+        for _ in range(n_videos)
+    ]
+    cand, nseg = pack_candidates(per_video, N_CLASS)
+    device_beam_search(table, ids, cand, nseg, 5)  # compile
+
+    def timed():
+        device_beam_search(table, ids, cand, nseg, 5)
+
+    import statistics as _st
+    times = []
+    for _ in range(RUNS):
+        start = time.perf_counter()
+        timed()
+        times.append(time.perf_counter() - start)
+    return n_videos / _st.median(times)
+
+
 def bench_torch_cpu(model_name: str) -> float:
     """Reference-equivalent workload on CPU, same shapes, pinned threads."""
     import torch
@@ -266,6 +345,18 @@ def main():
                 ref = bench_torch_cpu(name)
                 print(f"# torch-cpu {name}: {ref:,.0f} frames/sec", file=sys.stderr)
                 result[f"{name}_vs_baseline"] = round(fps / ref, 2)
+
+    # inference surface (VERDICT r2 item 6): eval forwards + device beam
+    if os.environ.get("PVA_BENCH_EVAL", "1") == "1":
+        for name in ("ms_tcn", "bigru"):
+            if name in models:
+                fps = bench_tpu_eval(name)
+                print(f"# tpu {name} eval: {fps:,.0f} frames/sec",
+                      file=sys.stderr)
+                result[f"{name}_eval_fps"] = round(fps, 1)
+        vps = bench_device_beam()
+        print(f"# tpu device_beam: {vps:,.1f} videos/sec", file=sys.stderr)
+        result["device_beam_videos_per_s"] = round(vps, 2)
     print(json.dumps(result))
 
 
