@@ -52,6 +52,24 @@ SHAPES = {
 }
 
 
+def _reset_device_state() -> None:
+    """Free compiled executables and dead device buffers between configs.
+
+    Measured necessity: in one process, configs benched after the ms_tcn
+    pair read 20-60% slow (attn 505k vs 626k standalone, bigru eval 2.0M vs
+    5.1M) — accumulated executables/buffers pressure HBM.  A fresh process
+    reproduces the standalone numbers; clearing caches + collecting between
+    configs does the same without subprocesses (recompiles hit the
+    persistent cache)."""
+    import gc
+
+    import jax
+
+    gc.collect()
+    jax.clear_caches()
+    gc.collect()
+
+
 def _median_throughput(fn, frames: int, runs: int) -> float:
     times = []
     for _ in range(runs):
@@ -326,6 +344,7 @@ def main():
     result = {}
     baseline_fps = None
     for name in models:
+        _reset_device_state()
         fps = bench_tpu(name)
         print(f"# tpu {name}: {fps:,.0f} frames/sec", file=sys.stderr)
         if name == headline:
@@ -350,6 +369,7 @@ def main():
     if os.environ.get("PVA_BENCH_EVAL", "1") == "1":
         for name in ("ms_tcn", "bigru"):
             if name in models:
+                _reset_device_state()
                 fps = bench_tpu_eval(name)
                 print(f"# tpu {name} eval: {fps:,.0f} frames/sec",
                       file=sys.stderr)

@@ -64,15 +64,18 @@ def init(rng, cfg: MSTCNConfig) -> dict:
 
 def _apply_stage(stage, x, mask, cfg, train, rng):
     out = conv1d(stage["conv_in"], x)
-    # eval fast path: the whole stage in ONE Pallas kernel (activation
-    # crosses HBM once instead of once per layer; +16% eval throughput at
-    # B=8, T=4096 — docs/PERF_NOTES.md).  Auto-enabled on TPU like the RNN
-    # scan kernels (PVA_USE_PALLAS=0 disables).  Train keeps the per-layer
-    # path: the stage kernel's VJP recomputes a full stage forward, which
-    # loses more than the fused forward saves.
+    # eval fast paths, fastest first: with tap-formulated convs (default,
+    # ops/conv.py CONV_TAPS) the plain XLA stage is the fastest measured
+    # eval path (4.17 ms vs 4.34 ms fused-Pallas vs 6.41 ms conv-op at B=8,
+    # T=4096 — docs/PERF_NOTES.md), so the fused whole-stage Pallas kernel
+    # auto-enables only when taps are disabled (it still beats the conv-op
+    # formulation by +16%); explicit use_pallas always opts in.  Train keeps
+    # the per-layer path: the stage kernel's VJP recomputes a full stage
+    # forward, which loses more than the fused forward saves.
+    from ..ops.conv import CONV_TAPS
     from ..ops.rnn import _pallas_enabled
 
-    if (cfg.use_pallas or _pallas_enabled()) and not train:
+    if (cfg.use_pallas or (_pallas_enabled() and not CONV_TAPS)) and not train:
         from ..ops.conv_pallas import fused_stage
 
         fused = fused_stage(stage["layers"], out, mask)

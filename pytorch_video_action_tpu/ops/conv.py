@@ -19,6 +19,15 @@ import os as _os
 
 HASH_DROPOUT = _os.environ.get("PVA_CONV_HASH_DROPOUT", "1") == "1"
 
+# Tap formulation: express the K=3 dilated conv as two zero-padded time
+# shifts + three [B,T,C]x[C,C'] matmuls (and 1x1 convs as plain matmuls)
+# instead of lax.conv_general_dilated.  Same math the SP halo path uses
+# (parallel/sp.py); interleaved A/B on the B=8,T=4096 training config
+# measured the conv-op step at 25.3 ms vs 12.3 ms for taps (~2x) — XLA's
+# TPU convolution emitter handles the tiny-C dilated case far worse than
+# straight MXU dots (docs/PERF_NOTES.md).  PVA_CONV_TAPS=0 restores convs.
+CONV_TAPS = _os.environ.get("PVA_CONV_TAPS", "1") == "1"
+
 
 def init_conv1d(rng, in_ch: int, out_ch: int, kernel: int) -> dict:
     fan_in = in_ch * kernel
@@ -32,12 +41,24 @@ def init_conv1d(rng, in_ch: int, out_ch: int, kernel: int) -> dict:
 
 def conv1d(p: dict, x: jax.Array, dilation: int = 1) -> jax.Array:
     """'same'-padded dilated conv: pad = dilation*(K-1)/2 like the reference's
-    ``nn.Conv1d(..., padding=dilation, dilation=dilation)`` with K=3."""
-    k = p["w"].shape[0]
+    ``nn.Conv1d(..., padding=dilation, dilation=dilation)`` with K=3.
+
+    With ``CONV_TAPS`` (default), K=1/K=3 run as matmul taps over shifted
+    views — ~2x faster than the conv op on this workload (see flag note)."""
+    w = p["w"]
+    k = w.shape[0]
+    if CONV_TAPS and k == 1:
+        return x @ w[0] + p["b"]
+    if CONV_TAPS and k == 3:
+        d = dilation
+        t = x.shape[1]
+        left = jnp.pad(x, ((0, 0), (d, 0), (0, 0)))[:, :t]   # x[t - d]
+        right = jnp.pad(x, ((0, 0), (0, d), (0, 0)))[:, d:]  # x[t + d]
+        return left @ w[0] + x @ w[1] + right @ w[2] + p["b"]
     pad = dilation * (k - 1) // 2
     out = jax.lax.conv_general_dilated(
         x,
-        p["w"],
+        w,
         window_strides=(1,),
         padding=[(pad, pad)],
         rhs_dilation=(dilation,),

@@ -206,6 +206,44 @@ def test_fused_dilated_residual_grads_match_xla():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-5, rtol=1e-4)
 
 
+@pytest.mark.parametrize("dilation", [1, 2, 16, 63, 64, 200])
+def test_conv_taps_matches_conv_op(dilation):
+    """Tap formulation (shift + matmul, ops/conv.py CONV_TAPS — the 2.3x
+    production train-step win) == lax.conv_general_dilated, for every
+    dilation class incl. d >= T (fully zero-shifted taps), K=3 and K=1,
+    values AND gradients."""
+    import pytorch_video_action_tpu.ops.conv as conv_mod
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.normal(size=(2, 64, 16)).astype(np.float32))
+    for k in (3, 1):
+        p = {
+            "w": jnp.asarray(rng.normal(size=(k, 16, 24)).astype(np.float32)),
+            "b": jnp.asarray(rng.normal(size=(24,)).astype(np.float32)),
+        }
+
+        def loss(p, x, taps):
+            conv_mod.CONV_TAPS = taps
+            try:
+                return (conv_mod.conv1d(p, x, dilation) ** 2).sum()
+            finally:
+                conv_mod.CONV_TAPS = True
+
+        conv_mod.CONV_TAPS = True
+        a = np.asarray(conv_mod.conv1d(p, x, dilation))
+        conv_mod.CONV_TAPS = False
+        b = np.asarray(conv_mod.conv1d(p, x, dilation))
+        conv_mod.CONV_TAPS = True
+        np.testing.assert_allclose(a, b, atol=3e-5, rtol=1e-5)
+
+        ga = jax.grad(loss, argnums=(0, 1))(p, x, True)
+        gb = jax.grad(loss, argnums=(0, 1))(p, x, False)
+        for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                          jax.tree_util.tree_leaves(gb)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=5e-4, rtol=1e-4)
+
+
 def test_mstcn_pallas_model_matches_xla():
     from pytorch_video_action_tpu.models import mstcn
 
