@@ -86,7 +86,9 @@ def parse_arguments(argv=None):
                              'ring attention); combines with --data_parallel')
     parser.add_argument('--seed', type=int, default=0)
     parser.add_argument('--resume', default=None,
-                        help='Resume bundle path (params+optimizer+epoch)')
+                        help='Resume bundle path (params+optimizer+epoch); '
+                             'a *.orbax path selects the orbax backend '
+                             '(sharded, host-gather-free — for mesh runs)')
     parser.add_argument('--dtype', default='float32',
                         choices=['float32', 'bfloat16'],
                         help='Compute dtype for the model body (master '

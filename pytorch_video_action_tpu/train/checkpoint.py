@@ -86,6 +86,12 @@ def flush() -> None:
         pending, _PENDING[:] = _PENDING[:], []
     for t in pending:
         t.join()
+    # orbax backend: join its async saves too (raises on write failure)
+    import sys
+
+    orbax_mod = sys.modules.get(f"{__package__}.orbax_ckpt")
+    if orbax_mod is not None:
+        orbax_mod.flush()
     with _PENDING_LOCK:
         if _WRITE_ERROR:
             err = _WRITE_ERROR.pop(0)
@@ -177,16 +183,33 @@ def load_params(path: str, with_state: bool = False):
     return params
 
 
+def _is_orbax(path: str) -> bool:
+    """``*.orbax`` resume paths dispatch to the orbax backend
+    (``train/orbax_ckpt.py``): sharded, host-gather-free bundles for mesh
+    runs; the npz file backend stays the single-chip default."""
+    return path.endswith(".orbax")
+
+
 def save_resume(path: str, params, opt_state, epoch: int,
                 extra: dict | None = None, model_state=None,
                 async_: bool = False, opt_layout: str | None = None):
     """Full resumable bundle (params + optimizer state + progress) — a
     capability the reference lacks (its Adam restarts on resume).
 
-    Format: one ``.npz`` (version-stable arrays, no pickled Python objects).
+    ``*.orbax`` paths route to the orbax backend (sharded arrays written
+    shard-by-shard, no host gather — see ``train/orbax_ckpt.py``).
+
+    npz format: one ``.npz`` (version-stable arrays, no pickled Python objects).
     Params/model_state flatten by pytree path; the optimizer state — an
     optax structure of namedtuples — is stored as ordered leaves and
     restored against a freshly initialized template (``opt_state_like``)."""
+    if _is_orbax(path):
+        from . import orbax_ckpt
+
+        orbax_ckpt.save_resume(path, params, opt_state, epoch, extra=extra,
+                               model_state=model_state, async_=async_,
+                               opt_layout=opt_layout)
+        return
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     flat = {
         f"params/{k}": v for k, v in _flatten(jax.device_get(params)).items()
@@ -216,6 +239,10 @@ def peek_opt_layout(path: str) -> str | None:
     from a resume bundle, or None for pre-tag bundles.  Lets the CLI build a
     matching optimizer BEFORE loading (``cli/train_cli.py``), so resuming a
     bundle saved under the other ``PVA_FLAT_OPT`` setting just works."""
+    if _is_orbax(path):
+        from . import orbax_ckpt
+
+        return orbax_ckpt.peek_opt_layout(path)
     if not os.path.exists(path):
         return None
     with np.load(path, allow_pickle=False) as z:
@@ -229,6 +256,10 @@ def load_resume(path: str, opt_state_like=None):
     optimizer state of the same optimizer) supplies the pytree structure the
     stored optimizer leaves are unflattened into; without it ``opt_state``
     is returned as the raw leaf list."""
+    if _is_orbax(path):
+        from . import orbax_ckpt
+
+        return orbax_ckpt.load_resume(path, opt_state_like=opt_state_like)
     with np.load(path, allow_pickle=False) as z:
         flat = {k: z[k] for k in z.files}
     params = _unflatten({

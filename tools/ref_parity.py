@@ -134,8 +134,11 @@ def main(argv=None):
         n_class = sum(1 for line in f if line.strip())
     shared_init(root, args.model, n_class, args)
 
-    ref_out = run_trainer(os.path.join(REF, "train.py"), root, args.model,
-                          args.epoch, args.batchsize, [])
+    # _ref_shim runs the literal reference train.py with a numpy>=1.24
+    # ragged-array compat proxy (the reference predates the inhomogeneous-
+    # shape ValueError); reference behavior is unchanged.
+    ref_out = run_trainer(os.path.join(REPO, "tools", "_ref_shim.py"), root,
+                          args.model, args.epoch, args.batchsize, [])
     our_out = run_trainer(os.path.join(REPO, "train.py"), root, args.model,
                           args.epoch, args.batchsize,
                           ["--annot_path", ".", "--data_dir", "./data",
