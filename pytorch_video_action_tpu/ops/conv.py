@@ -52,6 +52,13 @@ def conv1d(p: dict, x: jax.Array, dilation: int = 1) -> jax.Array:
     if CONV_TAPS and k == 3:
         d = dilation
         t = x.shape[1]
+        if d >= t:
+            # taps beyond the sequence are all-zero under 'same' zero
+            # padding, so the layer degenerates to its center tap — and
+            # skips materializing a [B, T+d, C] pad (MS-TCN dilations reach
+            # 2^19 >> T, networks.py:316; value+grad equivalence for d >= T
+            # is pinned by test_conv_taps_matches_conv_op[64,200])
+            return x @ w[1] + p["b"]
         left = jnp.pad(x, ((0, 0), (d, 0), (0, 0)))[:, :t]   # x[t - d]
         right = jnp.pad(x, ((0, 0), (0, d), (0, 0)))[:, d:]  # x[t + d]
         return left @ w[0] + x @ w[1] + right @ w[2] + p["b"]
