@@ -29,7 +29,15 @@ import time
 import numpy as np
 
 N_CLASS = 48
-STEPS = int(os.environ.get("PVA_BENCH_STEPS", 10))
+# Steps chained per jitted fori_loop call.  The tunnel charges ~30 ms of
+# dispatch latency per device call regardless of work (profiler trace: the
+# 10-iteration ms_tcn eval loop executes in 9.6 ms on-device but times at
+# ~42 ms host-side), so per-step numbers at 10 steps under-report fast
+# configs by up to 4x.  50 train steps / 400 eval forwards amortize dispatch
+# to <1 ms/call of error while keeping loss finite over the chained Adam
+# steps (asserted below).
+STEPS = int(os.environ.get("PVA_BENCH_STEPS", 50))
+EVAL_STEPS = int(os.environ.get("PVA_BENCH_EVAL_STEPS", 400))
 REF_STEPS = int(os.environ.get("PVA_BENCH_REF_STEPS", 3))
 RUNS = int(os.environ.get("PVA_BENCH_RUNS", 3))
 # bf16 mixed precision (f32 master weights/softmax/loss) — the TPU-native
@@ -106,11 +114,13 @@ def bench_tpu(model_name: str) -> float:
     opt_state = tx.init(params)
     loss = make_loss_fn(model_name, N_CLASS)
 
-    # ms_tcn and attn train in f32 (ms_tcn: conv stack bandwidth-bound, bf16
-    # measured no-gain; attn: flash softmax accumulators are exactness-
-    # sensitive and the MXU runs bf16 at f32 rate on this part anyway —
-    # docs/PERF_NOTES.md)
-    cd = None if (DTYPE == "float32" or model_name in ("ms_tcn", "attn")) \
+    # attn trains in f32: flash softmax accumulators are exactness-sensitive
+    # and the MXU runs bf16 at f32 rate on this part anyway.  ms_tcn follows
+    # DTYPE since round 3: the tap-conv formulation made the step partly
+    # bytes-bound, so bf16 activations now pay +11.6% (tools/ab_mstcn_bf16.py
+    # interleaved A/B; the earlier "no-gain" result was on the conv-op path,
+    # bound by the convolution emitter — docs/PERF_NOTES.md)
+    cd = None if (DTYPE == "float32" or model_name == "attn") \
         else jnp.dtype(DTYPE)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(b, t, 400)).astype(np.float32))
@@ -175,14 +185,14 @@ def bench_tpu_eval(model_name: str) -> float:
             out = model.apply(params, x, l2, train=False)
             return acc + out.mean().astype(jnp.float32)
 
-        return jax.lax.fori_loop(0, STEPS, body, jnp.float32(0))
+        return jax.lax.fori_loop(0, EVAL_STEPS, body, jnp.float32(0))
 
     assert np.isfinite(float(run(params, x, lengths)))  # compile + check
 
     def timed():
         assert np.isfinite(float(run(params, x, lengths)))
 
-    return _median_throughput(timed, b * t * STEPS, RUNS)
+    return _median_throughput(timed, b * t * EVAL_STEPS, RUNS)
 
 
 def bench_device_beam() -> float:
