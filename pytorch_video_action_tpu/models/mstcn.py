@@ -16,10 +16,21 @@ round-trips across the 80 layers.
 
 from __future__ import annotations
 
+import os as _os
 from dataclasses import dataclass
+from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+# Rematerialization policy for the training backward, read at trace time.
+# 'layer': jax.checkpoint around each dilated residual layer; 'stage': per
+# stage; 'none' (default): let XLA save linearization points.  MEASURED:
+# both remat variants LOSE on the B=8,T=4096 bf16 step (none 6.40 ms vs
+# layer 7.26 / stage 9.91 — tools/ab_mstcn_bwd.py, docs/PERF_NOTES.md):
+# recompute cost exceeds the saved-intermediate traffic at C=64.  Kept for
+# memory-constrained shapes (T >> 4096) where remat trades speed for HBM.
+REMAT = _os.environ.get("PVA_MSTCN_REMAT", "none")
 
 from ..ops.conv import conv1d, dilated_residual_layer, init_conv1d
 from ..ops.masking import length_mask
@@ -82,12 +93,19 @@ def _apply_stage(stage, x, mask, cfg, train, rng):
         if fused is not None:
             return conv1d(stage["conv_out"], fused) * mask
     rngs = split_rng(rng, len(stage["layers"]))
+    remat_layer = REMAT == "layer" and train
     for i, layer in enumerate(stage["layers"]):
-        out = dilated_residual_layer(
-            layer, out, mask, dilation=2 ** i,
-            dropout_rate=cfg.dropout_rate, train=train, rng=rngs[i],
+        fn = partial(
+            dilated_residual_layer, dilation=2 ** i,
+            dropout_rate=cfg.dropout_rate, train=train,
             use_pallas=cfg.use_pallas,
         )
+        if remat_layer:
+            fn = jax.checkpoint(
+                lambda lyr, o, m, r, _f=fn: _f(lyr, o, m, rng=r))
+            out = fn(layer, out, mask, rngs[i])
+        else:
+            out = fn(layer, out, mask, rng=rngs[i])
     return conv1d(stage["conv_out"], out) * mask
 
 
@@ -95,10 +113,15 @@ def apply(params, cfg: MSTCNConfig, x, lengths, *, train=False, rng=None):
     """x: [B, T, 400] -> logits [B, T, C] (stage-max)."""
     mask = length_mask(lengths, x.shape[1]).astype(x.dtype)[:, :, None]
     rngs = split_rng(rng, cfg.num_stages)
-    out = _apply_stage(params["stages"][0], x, mask, cfg, train, rngs[0])
+    stage_fn = _apply_stage
+    if REMAT == "stage" and train:
+        stage_fn = jax.checkpoint(
+            lambda st, xx, mk, rr: _apply_stage(st, xx, mk, cfg, train, rr))
+        stage_fn = lambda st, xx, mk, c, t, rr, _f=stage_fn: _f(st, xx, mk, rr)
+    out = stage_fn(params["stages"][0], x, mask, cfg, train, rngs[0])
     acc = out
     for s in range(1, cfg.num_stages):
-        out = _apply_stage(
+        out = stage_fn(
             params["stages"][s], jax.nn.softmax(out, axis=-1) * mask, mask, cfg, train, rngs[s]
         )
         acc = jnp.maximum(acc, out)  # stage-max (networks.py:317-319)

@@ -28,6 +28,15 @@ HASH_DROPOUT = _os.environ.get("PVA_CONV_HASH_DROPOUT", "1") == "1"
 # straight MXU dots (docs/PERF_NOTES.md).  PVA_CONV_TAPS=0 restores convs.
 CONV_TAPS = _os.environ.get("PVA_CONV_TAPS", "1") == "1"
 
+# Packed byte masks (hashmask.keep_mask8): 4 Bernoulli samples per fmix32
+# word when the keep probability is byte-exact (p=0.5 production case).
+# MEASURED SLOWER and default off: the (...,C/4,4)->(...,C) byte expansion
+# relayouts across the VPU's 128-lane axis and costs more than the saved
+# hash ops — interleaved A/B 8.04 vs 6.40 ms/step (tools/ab_mstcn_bwd.py,
+# docs/PERF_NOTES.md).  Kept as an escape hatch for hardware where lane
+# shuffles are cheap.
+PACKED_MASKS = _os.environ.get("PVA_PACKED_MASKS", "0") == "1"
+
 
 def init_conv1d(rng, in_ch: int, out_ch: int, kernel: int) -> dict:
     fan_in = in_ch * kernel
@@ -110,9 +119,14 @@ def dilated_residual_layer(
             # counter-hash mask stream (ops/hashmask.py): cheaper mask bits
             # than threefry; A/B-measured on the full step before defaulting
             # (docs/PERF_NOTES.md)
-            from .hashmask import keep_mask, rng_seed_u32, threshold
+            from .hashmask import (
+                keep_mask, keep_mask8, packed_exact, rng_seed_u32, threshold,
+            )
 
-            km = keep_mask(rng_seed_u32(rng), out.shape, threshold(keep))
+            if PACKED_MASKS and packed_exact(keep) and out.shape[-1] % 4 == 0:
+                km = keep_mask8(rng_seed_u32(rng), out.shape, keep)
+            else:
+                km = keep_mask(rng_seed_u32(rng), out.shape, threshold(keep))
             out = jnp.where(km, out * (1.0 / keep), jnp.zeros((), out.dtype))
         else:
             out = out * jax.random.bernoulli(rng, keep, out.shape) / keep

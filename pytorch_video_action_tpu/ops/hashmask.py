@@ -79,3 +79,50 @@ def keep_mask(seed_u32, shape, thresh: int, offset=None):
         idx = idx + lax.broadcasted_iota(jnp.uint32, shape, axis) * jnp.uint32(stride)
         stride *= shape[axis]
     return fmix32(idx ^ key) < jnp.uint32(thresh)
+
+
+def packed_exact(keep: float) -> bool:
+    """True when ``keep`` is exactly representable at byte granularity, i.e.
+    ``keep_mask8`` draws Bernoulli(keep) exactly (p=0.5 -> 128/256)."""
+    return abs(keep * 256 - round(keep * 256)) < 1e-9 and 0 < round(keep * 256) <= 256
+
+
+def keep_mask8(seed_u32, shape, keep: float, offset=None):
+    """``keep_mask`` with 4 Bernoulli samples per hash word (byte compare).
+
+    One fmix32 avalanche yields 32 bits; the murmur3 finalizer's bytes are
+    individually uniform and pairwise decorrelated (asserted in
+    tests/test_hashmask.py), so comparing each byte against
+    ``round(keep*256)`` gives 4 iid keep-bits per word — ~2x fewer VPU ops
+    per mask element than the word stream.  MEASURED SLOWER than the word
+    stream on the ms_tcn step (the byte expansion relayouts the last axis
+    across vector lanes — tools/ab_mstcn_bwd.py) and therefore NOT used by
+    default anywhere; kept behind ``PVA_PACKED_MASKS`` as an escape hatch.
+    Exact only when ``keep*256`` is integral (``packed_exact``); callers
+    gate on that and fall back to ``keep_mask`` otherwise.  Stream is distinct from ``keep_mask``'s (byte
+    lanes vs whole words) — both are deterministic in (seed, offset), which
+    is the property recompute backwards rely on.
+
+    The last axis must be divisible by 4 (true for every production shape:
+    C=64 conv activations, 128-lane attention tiles)."""
+    *lead, last = shape
+    assert last % 4 == 0, shape
+    words_shape = (*lead, last // 4, 1)
+    key = jnp.uint32(seed_u32)
+    if offset is not None:
+        if isinstance(offset, int):
+            off = jnp.uint32(offset & 0xFFFFFFFF)
+        else:
+            off = jnp.asarray(offset).astype(jnp.uint32)
+        key = key ^ off * jnp.uint32(0x85EBCA77)
+    key = fmix32(key + jnp.uint32(GOLDEN))
+    idx = jnp.zeros(words_shape, jnp.uint32)
+    stride = 1
+    for axis in range(len(words_shape) - 2, -1, -1):
+        idx = idx + lax.broadcasted_iota(jnp.uint32, words_shape, axis) * jnp.uint32(stride)
+        stride *= words_shape[axis]
+    w = fmix32(idx ^ key)
+    shifts = jnp.arange(4, dtype=jnp.uint32).reshape((1,) * len(lead) + (1, 4))
+    bytes_ = (w >> (shifts * jnp.uint32(8))) & jnp.uint32(0xFF)
+    tb = jnp.uint32(int(round(keep * 256)))
+    return (bytes_ < tb).reshape(shape)

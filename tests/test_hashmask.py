@@ -10,6 +10,8 @@ import numpy as np
 from pytorch_video_action_tpu.ops.hashmask import (
     fmix32,
     keep_mask,
+    keep_mask8,
+    packed_exact,
     rng_seed_u32,
     threshold,
 )
@@ -100,6 +102,43 @@ def test_rng_seed_u32_accepts_key_forms():
     # works under jit (traced key)
     s4 = int(jax.jit(rng_seed_u32)(k))
     assert s4 == s1
+
+
+def test_packed_keep_fraction_and_determinism():
+    """keep_mask8 (4 Bernoulli bytes per hash word — the ms_tcn training
+    mask stream since round 3) draws at the exact byte rate and is
+    bit-reproducible in (seed, offset), the recompute-backward contract."""
+    for keep in (0.25, 0.5, 0.75):
+        assert packed_exact(keep)
+        m = np.asarray(keep_mask8(jnp.uint32(7), (512, 128), keep))
+        assert abs(m.mean() - keep) < 0.01, keep
+    assert not packed_exact(0.7)  # attn's keep stays on the word stream
+    a = np.asarray(keep_mask8(jnp.uint32(1), (256, 128), 0.5))
+    assert (a == np.asarray(keep_mask8(jnp.uint32(1), (256, 128), 0.5))).all()
+    b = np.asarray(keep_mask8(jnp.uint32(2), (256, 128), 0.5))
+    c = np.asarray(keep_mask8(jnp.uint32(1), (256, 128), 0.5,
+                              offset=jnp.int32(3)))
+    assert 0.45 < (a == b).mean() < 0.55
+    assert 0.45 < (a == c).mean() < 0.55
+
+
+def test_packed_byte_lanes_decorrelate():
+    """The 4 keep-bits sharing one fmix32 word must be pairwise independent
+    (murmur3 finalizer bytes), and the stream must be layout-stable: any
+    shape with the same row-major order gives the same bits."""
+    m = np.asarray(keep_mask8(jnp.uint32(11), (4096, 4), 0.5))
+    flat = m.reshape(-1, 4)
+    for i in range(4):
+        for j in range(i + 1, 4):
+            agree = (flat[:, i] == flat[:, j]).mean()
+            assert 0.45 < agree < 0.55, (i, j, agree)
+    # no striping along either axis of a big 2-D mask
+    m2 = np.asarray(keep_mask8(jnp.uint32(3), (256, 256), 0.5)).astype(float)
+    assert np.abs(m2.mean(axis=0) - 0.5).max() < 0.12
+    assert np.abs(m2.mean(axis=1) - 0.5).max() < 0.12
+    a = np.asarray(keep_mask8(jnp.uint32(9), (2, 3, 8, 128), 0.5))
+    b = np.asarray(keep_mask8(jnp.uint32(9), (6, 8 * 128), 0.5))
+    assert (a.reshape(6, 8 * 128) == b).all()
 
 
 def test_fmix32_avalanche():

@@ -109,6 +109,44 @@ def main(argv=None):
     print(f"[float32  ] [{t_},{t_}]@[{t_},128]: {sec * 1e3:7.3f} ms/iter  "
           f"{2 * t_ * t_ * 128 / sec / 1e12:6.1f} TF/s")
 
+    # 4) VPU transcendental rate: sigmoid over the bigru gate volume
+    #    [1024, 64, 768] — the denominator of the flagship's
+    #    "VPU-transcendental-bound" speed-of-light argument.
+    for dt in (jnp.float32, jnp.bfloat16):
+        g = jnp.asarray(rng.normal(size=(1024, 64, 768)), dtype=dt)
+
+        @jax.jit
+        def sig(g):
+            def body(i, y):
+                # sigmoid keeps values in (0,1); recenter so it never
+                # saturates to a constant the compiler could exploit
+                return jax.nn.sigmoid(y * 4.0 - 2.0)
+
+            y = jax.lax.fori_loop(0, args.iters, body, g)
+            return jnp.mean(y.astype(jnp.float32))
+
+        sec = timed(sig, g)
+        n = g.size
+        print(f"[{g.dtype.name:9s}] sigmoid [1024,64,768]: {sec * 1e3:7.3f} ms/iter  "
+              f"{n / sec / 1e9:6.1f} Gelem/s  "
+              f"{2 * n * g.dtype.itemsize / sec / 1e9:6.1f} GB/s r+w")
+
+    # 5) HBM stream: y = y*a + b over 256 MB (read + write, no reuse)
+    big = jnp.asarray(rng.normal(size=(64 * 1024 * 1024,)), dtype=jnp.float32)
+
+    @jax.jit
+    def stream(y):
+        def body(i, y):
+            return y * 0.999 + 1e-6
+
+        y = jax.lax.fori_loop(0, args.iters, body, y)
+        return jnp.mean(y)
+
+    sec = timed(stream, big)
+    gb = 2 * big.size * 4 / 1e9
+    print(f"[float32  ] stream {gb / 2 * 1000:4.0f} MB r+w: {sec * 1e3:7.3f} ms/iter  "
+          f"{gb / sec:6.1f} GB/s")
+
 
 if __name__ == "__main__":
     main()
