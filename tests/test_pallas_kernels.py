@@ -244,6 +244,81 @@ def test_conv_taps_matches_conv_op(dilation):
                                        atol=5e-4, rtol=1e-4)
 
 
+def test_mstcn_remat_grads_match_default():
+    """PVA_MSTCN_REMAT=layer/stage recomputes the backward from checkpoints;
+    the counter-hash dropout masks regenerate bit-identically in the
+    recompute, so grads must match the default save-everything backward
+    exactly (the property that makes remat safe for memory-bound shapes;
+    both variants measured slower at bench shapes and default off —
+    docs/PERF_NOTES.md)."""
+    import pytorch_video_action_tpu.models.mstcn as mm
+    from pytorch_video_action_tpu.models.mstcn import MSTCNConfig, apply, init
+    from pytorch_video_action_tpu.train.losses import make_loss_fn
+
+    cfg = MSTCNConfig(n_class=6, num_stages=2, num_layers=3)
+    params = init(jax.random.PRNGKey(0), cfg)
+    loss = make_loss_fn("ms_tcn", 6)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 400)).astype(np.float32))
+    lengths = jnp.asarray([32, 20], jnp.int32)
+    tgt = jnp.asarray(rng.integers(0, 6, size=(64,)))
+    key = jax.random.PRNGKey(3)
+
+    def lf(p):
+        return loss(apply(p, cfg, x, lengths, train=True, rng=key), tgt)
+
+    grads = {}
+    try:
+        for remat in ("none", "layer", "stage"):
+            mm.REMAT = remat
+            grads[remat] = jax.grad(lf)(params)
+    finally:
+        mm.REMAT = "none"
+    for r in ("layer", "stage"):
+        for la, lb in zip(jax.tree_util.tree_leaves(grads["none"]),
+                          jax.tree_util.tree_leaves(grads[r])):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=1e-5, rtol=1e-5)
+
+
+def test_mstcn_packed_mask_training_acts_and_is_finite():
+    """The PVA_PACKED_MASKS=1 escape hatch draws a different (byte-lane)
+    mask stream: dropout must act, grads stay finite, and eval outputs are
+    unaffected (masks only exist in train mode)."""
+    import pytorch_video_action_tpu.ops.conv as cm
+    from pytorch_video_action_tpu.models.mstcn import MSTCNConfig, apply, init
+    from pytorch_video_action_tpu.train.losses import make_loss_fn
+
+    cfg = MSTCNConfig(n_class=6, num_stages=2, num_layers=3)
+    params = init(jax.random.PRNGKey(0), cfg)
+    loss = make_loss_fn("ms_tcn", 6)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(2, 32, 400)).astype(np.float32))
+    lengths = jnp.asarray([32, 20], jnp.int32)
+    tgt = jnp.asarray(rng.integers(0, 6, size=(64,)))
+    key = jax.random.PRNGKey(3)
+
+    def lf(p, packed):
+        cm.PACKED_MASKS = packed
+        try:
+            return loss(apply(p, cfg, x, lengths, train=True, rng=key), tgt)
+        finally:
+            cm.PACKED_MASKS = False
+
+    lw, gw = jax.value_and_grad(lambda p: lf(p, False))(params)
+    lp, gp = jax.value_and_grad(lambda p: lf(p, True))(params)
+    assert np.isfinite(float(lp)) and np.isfinite(float(lw))
+    assert abs(float(lp) - float(lw)) > 1e-7  # different stream -> acted
+    for leaf in jax.tree_util.tree_leaves(gp):
+        assert np.isfinite(np.asarray(leaf)).all()
+    # eval path identical regardless of the flag
+    cm.PACKED_MASKS = True
+    a = apply(params, cfg, x, lengths, train=False)
+    cm.PACKED_MASKS = False
+    b = apply(params, cfg, x, lengths, train=False)
+    np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
 def test_mstcn_pallas_model_matches_xla():
     from pytorch_video_action_tpu.models import mstcn
 
