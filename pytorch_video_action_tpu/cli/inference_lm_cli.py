@@ -40,6 +40,12 @@ def parse_arguments(argv=None):
     parser.add_argument('--results_dir', default='results')
     parser.add_argument('--bucket_multiple', type=int, default=128)
     parser.add_argument('--batch_size', type=int, default=8)
+    parser.add_argument('--dtype', default='float32',
+                        choices=['float32', 'bfloat16'],
+                        help='forward-pass precision; bfloat16 is a TPU '
+                             'performance extension (+55%% measured ms_tcn '
+                             'eval) — predictions can differ from float32 '
+                             'on near-tied frames')
     parser.add_argument('--data_parallel', type=int, default=0,
                         help='Shard prediction batches over this many devices '
                              '(0 = off); identical outputs, tested')
@@ -85,7 +91,7 @@ def main(argv=None):
         remove_zero=args.remove_zero,
         bucket_multiple=args.bucket_multiple, batch_size=args.batch_size,
         device_beam=args.device_beam,
-        sharding=_make_sharding(args),
+        sharding=_make_sharding(args), dtype=args.dtype,
     )
     if args.part == 'dev':
         return out

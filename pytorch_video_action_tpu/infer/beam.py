@@ -82,6 +82,7 @@ def run_beam_inference(
     verbose: bool = True,
     device_beam: bool = False,
     sharding=None,
+    dtype: str | None = None,
 ):
     """Dev -> segment accuracy; test -> flat list of predicted labels.
 
@@ -94,7 +95,7 @@ def run_beam_inference(
         key: frame_predictions(
             mdef, params, dataset.features,
             bucket_multiple=bucket_multiple, batch_size=batch_size,
-            sharding=sharding,
+            sharding=sharding, dtype=dtype,
         )
         for key, (mdef, params) in models.items()
     }

@@ -27,6 +27,7 @@ def run_ensemble(
     verbose: bool = True,
     dropout_at_test: bool = False,
     sharding=None,
+    dtype: str | None = None,
 ):
     """Returns dev accuracy (float) for ``part='dev'`` or the flat list of
     predicted segment labels for ``part='test'``.
@@ -37,7 +38,7 @@ def run_ensemble(
         key: frame_predictions(
             mdef, params, dataset.features,
             bucket_multiple=bucket_multiple, batch_size=batch_size,
-            dropout_at_test=dropout_at_test, sharding=sharding,
+            dropout_at_test=dropout_at_test, sharding=sharding, dtype=dtype,
         )
         for key, (mdef, params) in models.items()
     }

@@ -29,6 +29,7 @@ def frame_predictions(
     dropout_at_test: bool = False,
     seed: int = 0,
     sharding=None,
+    dtype: str | None = None,
 ) -> list[tuple[np.ndarray, np.ndarray]]:
     """Per video: (predicted_class [T] i64, max_log_prob [T] f32).
 
@@ -43,15 +44,36 @@ def frame_predictions(
     ``sharding`` (``parallel.DataParallel``) shards each forward batch over
     the mesh's 'data' axis — prediction is embarrassingly data-parallel, so
     the inference drivers scale across chips like the train step.
+
+    ``dtype='bfloat16'`` (``--dtype`` on the inference CLIs) casts params and
+    inputs for the forward — +55% measured ms_tcn eval throughput on TPU
+    (docs/PERF_NOTES.md); argmax/max reductions stay f32.  Predictions can
+    differ from f32 on near-tied frames (documented performance extension,
+    not a reference behavior).
     """
     use_dp = sharding is not None and hasattr(sharding, "shard_eval")
+    cd = jnp.dtype(dtype) if dtype and dtype != "float32" else None
+
+    def _prep(p, x):
+        if cd is not None:
+            return (jax.tree.map(lambda a: a.astype(cd), p), x.astype(cd))
+        return p, x
+
     if dropout_at_test:
         key = jax.random.PRNGKey(seed)
-        fwd = jax.jit(
-            lambda p, x, l, r: model.apply(p, x, l, train=True, rng=r)
-        )
+
+        def fwd_(p, x, l, r):
+            p, x = _prep(p, x)
+            return model.apply(p, x, l, train=True, rng=r).astype(jnp.float32)
+
+        fwd = jax.jit(fwd_)
     else:
-        fwd = jax.jit(lambda p, x, l: model.apply(p, x, l, train=False))
+
+        def fwd_(p, x, l):
+            p, x = _prep(p, x)
+            return model.apply(p, x, l, train=False).astype(jnp.float32)
+
+        fwd = jax.jit(fwd_)
     if use_dp:
         params = sharding.replicate(params)
 

@@ -107,6 +107,7 @@ def run_scene_aggregation(
     batch_size: int = 8,
     verbose: bool = True,
     sharding=None,
+    dtype: str | None = None,
 ) -> list[int]:
     """Returns the flat ordered label list: for each test video (bundle
     order), its scene's aggregated per-segment labels
@@ -115,7 +116,7 @@ def run_scene_aggregation(
         key: frame_predictions(
             mdef, params, dataset.features,
             bucket_multiple=bucket_multiple, batch_size=batch_size,
-            sharding=sharding,
+            sharding=sharding, dtype=dtype,
         )
         for key, (mdef, params) in models.items()
     }

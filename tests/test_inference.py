@@ -104,6 +104,45 @@ def test_ensemble_dev(synthetic_root, trained_models, tmp_path):
     assert acc > 30.0  # separable synthetic data, trained models
 
 
+def test_bf16_inference_matches_f32(synthetic_root, trained_models, tmp_path):
+    """--dtype bfloat16 (TPU inference performance extension, +55% measured
+    ms_tcn eval — docs/PERF_NOTES.md): the CLI runs end-to-end and the
+    frame predictions agree with the f32 path on (nearly) every frame —
+    only near-tied argmax rows may flip."""
+    import numpy as np
+
+    from pytorch_video_action_tpu.cli.inference_cli import main
+    from pytorch_video_action_tpu.data.dataset import VideoDataset
+    from pytorch_video_action_tpu.infer.loader import load_models
+    from pytorch_video_action_tpu.infer.predict import frame_predictions
+
+    base = ["--pretrained_model", *trained_models["names"], "--prob", "big",
+            "--part", "dev", "--split", "0"] + _common_argv(
+                synthetic_root, trained_models, str(tmp_path))
+    acc32 = main(base + ["--dtype", "float32"])
+    acc16 = main(base + ["--dtype", "bfloat16"])
+    assert abs(acc32 - acc16) < 10.0  # same separable data, both trained
+
+    ds = VideoDataset(
+        data_dir=os.path.join(str(synthetic_root), "data"),
+        annot_path=str(synthetic_root), part="dev", load_all=True,
+        split=0, mode="active",
+    )
+    models = load_models(
+        trained_models["names"], ds.n_class,
+        models_dir=trained_models["models_dir"],
+    )
+    mdef, params = next(iter(models.values()))
+    p32 = frame_predictions(mdef, params, ds.features, bucket_multiple=32)
+    p16 = frame_predictions(mdef, params, ds.features, bucket_multiple=32,
+                            dtype="bfloat16")
+    agree = total = 0
+    for (a, _), (b, _) in zip(p32, p16):
+        agree += int((a == b).sum())
+        total += len(a)
+    assert agree / total > 0.98, agree / total
+
+
 def test_ensemble_test_csv(synthetic_root, trained_models, tmp_path):
     from pytorch_video_action_tpu.cli.inference_cli import main
     from pytorch_video_action_tpu.data.bundles import load_segment_file
