@@ -16,6 +16,15 @@ Measurement discipline:
   count — the round-1 single-step baseline had ~2x noise on the shared host.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+
+Robustness (round-3 lesson: BENCH_r03.json was a failure record — the backend
+hiccuped once and the whole line was lost): the parent process never touches
+the TPU.  It first health-probes the backend in a subprocess (bounded
+retries), then runs every measurement in its OWN subprocess with a per-config
+timeout and a total-runtime budget.  One config crashing, hanging, or hitting
+a cold multi-minute Mosaic compile degrades that one key; the JSON line always
+prints with whatever succeeded plus an ``errors`` map for what didn't.
+Progress streams unbuffered to stderr so a watcher sees liveness mid-compile.
 """
 
 from __future__ import annotations
@@ -23,6 +32,7 @@ from __future__ import annotations
 import json
 import os
 import statistics
+import subprocess
 import sys
 import time
 
@@ -60,22 +70,11 @@ SHAPES = {
 }
 
 
-def _reset_device_state() -> None:
-    """Free compiled executables and dead device buffers between configs.
-
-    Measured necessity: in one process, configs benched after the ms_tcn
-    pair read 20-60% slow (attn 505k vs 626k standalone, bigru eval 2.0M vs
-    5.1M) — accumulated executables/buffers pressure HBM.  A fresh process
-    reproduces the standalone numbers; clearing caches + collecting between
-    configs does the same without subprocesses (recompiles hit the
-    persistent cache)."""
-    import gc
-
-    import jax
-
-    gc.collect()
-    jax.clear_caches()
-    gc.collect()
+# NOTE: configs benched after each other in ONE process read 20-60% slow
+# (attn 505k vs 626k standalone, bigru eval 2.0M vs 5.1M — accumulated
+# executables/buffers pressure HBM).  Subprocess-per-config (see _spawn)
+# reproduces standalone numbers AND isolates failures; recompiles hit the
+# persistent cache.
 
 
 def _median_throughput(fn, frames: int, runs: int) -> float:
@@ -345,49 +344,167 @@ def bench_torch_cpu(model_name: str) -> float:
     return _median_throughput(timed, b * t * REF_STEPS, RUNS)
 
 
+def _probe_backend() -> None:
+    """Child task: tiny matmul to prove the device backend is alive."""
+    from __graft_entry__ import _enable_compile_cache
+
+    _enable_compile_cache()
+    import jax
+    import jax.numpy as jnp
+
+    x = jnp.ones((128, 128))
+    float((x @ x).block_until_ready()[0, 0])
+    print("RESULT 1.0", flush=True)
+
+
+def _run_child_task(task: str) -> None:
+    """Dispatch a single measurement inside a child process and print the
+    number on the last stdout line (``RESULT <float>``)."""
+    kind, _, name = task.partition(":")
+    if kind == "probe":
+        return _probe_backend()
+    if kind == "train":
+        val = bench_tpu(name)
+    elif kind == "eval":
+        val = bench_tpu_eval(name)
+    elif kind == "beam":
+        val = bench_device_beam()
+    elif kind == "ref":
+        val = bench_torch_cpu(name)
+    else:
+        raise ValueError(f"unknown bench child task {task!r}")
+    print(f"RESULT {val!r}", flush=True)
+
+
+def _spawn(task: str, timeout: float) -> tuple[float | None, str | None]:
+    """Run one measurement in a subprocess.  Returns (value, error).
+
+    Child stderr is inherited (streams live); stdout is captured for the
+    RESULT line.  Any failure mode — crash, timeout, garbage output — comes
+    back as a short error string instead of propagating.
+    """
+    env = dict(os.environ, PVA_BENCH_CHILD=task, PYTHONUNBUFFERED="1")
+    t0 = time.perf_counter()
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-u", os.path.abspath(__file__)],
+            env=env, stdout=subprocess.PIPE, stderr=None,
+            timeout=timeout, cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+    except subprocess.TimeoutExpired:
+        return None, f"timeout after {timeout:.0f}s"
+    except Exception as exc:  # spawn failure
+        return None, f"spawn failed: {exc}"
+    dt = time.perf_counter() - t0
+    out = proc.stdout.decode(errors="replace")
+    if proc.returncode != 0:
+        tail = out.strip().splitlines()[-1] if out.strip() else ""
+        return None, f"rc={proc.returncode} after {dt:.0f}s {tail[:200]}"
+    for line in reversed(out.strip().splitlines()):
+        if line.startswith("RESULT "):
+            try:
+                return float(line.split()[1]), None
+            except ValueError:
+                break
+    return None, f"no RESULT line in child stdout ({out.strip()[-200:]!r})"
+
+
 def main():
+    child = os.environ.get("PVA_BENCH_CHILD")
+    if child:
+        return _run_child_task(child)
+
     models = [m for m in MODELS if m in SHAPES]
     headline = models[0]
     skip_ref = os.environ.get("PVA_BENCH_SKIP_REF") == "1"
     ref_all = os.environ.get("PVA_BENCH_REF_ALL") == "1"
+    # Per-task and total budgets.  A cold Mosaic compile over the tunnel can
+    # take several minutes per config; the per-task default leaves room for
+    # that, and the total budget guarantees the JSON line prints even when
+    # everything is cold (remaining tasks are skipped, not hung on).
+    task_timeout = float(os.environ.get("PVA_BENCH_TASK_TIMEOUT", 1200))
+    deadline = time.monotonic() + float(os.environ.get("PVA_BENCH_BUDGET", 5400))
 
-    result = {}
+    def remaining() -> float:
+        return deadline - time.monotonic()
+
+    errors: dict[str, str] = {}
+
+    def measure(task: str, label: str) -> float | None:
+        if remaining() < 60:
+            errors[label] = "skipped: total budget exhausted"
+            print(f"# SKIP {label}: budget exhausted", file=sys.stderr, flush=True)
+            return None
+        print(f"# start {label} (budget {remaining():.0f}s left)",
+              file=sys.stderr, flush=True)
+        val, err = _spawn(task, min(task_timeout, remaining()))
+        if err is not None:
+            errors[label] = err
+            print(f"# FAIL {label}: {err}", file=sys.stderr, flush=True)
+            return None
+        print(f"# done {label}: {val:,.1f}", file=sys.stderr, flush=True)
+        return val
+
+    # 1. Backend health gate: bounded retries so a transient tunnel hiccup
+    #    (the exact BENCH_r03 failure) doesn't poison every config.
+    probes = int(os.environ.get("PVA_BENCH_PROBE_RETRIES", 3))
+    backend_ok = False
+    for i in range(probes):
+        val, err = _spawn("probe", min(300, max(remaining(), 60)))
+        if val is not None:
+            backend_ok = True
+            print("# backend probe ok", file=sys.stderr, flush=True)
+            break
+        print(f"# backend probe {i + 1}/{probes} failed: {err}",
+              file=sys.stderr, flush=True)
+        if i + 1 < probes:
+            time.sleep(30)
+    if not backend_ok:
+        errors["backend"] = f"device backend unavailable after {probes} probes"
+
+    result: dict = {}
     baseline_fps = None
-    for name in models:
-        _reset_device_state()
-        fps = bench_tpu(name)
-        print(f"# tpu {name}: {fps:,.0f} frames/sec", file=sys.stderr)
-        if name == headline:
-            if not skip_ref:
-                baseline_fps = bench_torch_cpu(name)
-                print(f"# torch-cpu {name}: {baseline_fps:,.0f} frames/sec",
-                      file=sys.stderr)
-            result.update({
-                "metric": f"{name}_train_step_throughput",
-                "value": round(fps, 1),
-                "unit": "frames/sec/chip",
-                "vs_baseline": round(fps / baseline_fps, 2) if baseline_fps else None,
-            })
-        else:
-            result[f"{name}_fps"] = round(fps, 1)
-            if ref_all and not skip_ref:
-                ref = bench_torch_cpu(name)
-                print(f"# torch-cpu {name}: {ref:,.0f} frames/sec", file=sys.stderr)
-                result[f"{name}_vs_baseline"] = round(fps / ref, 2)
+    if backend_ok:
+        for name in models:
+            fps = measure(f"train:{name}", f"train:{name}")
+            if name == headline:
+                if fps is not None and not skip_ref:
+                    baseline_fps = measure(f"ref:{name}", f"ref:{name}")
+                result.update({
+                    "metric": f"{name}_train_step_throughput",
+                    "value": round(fps, 1) if fps is not None else None,
+                    "unit": "frames/sec/chip",
+                    "vs_baseline": round(fps / baseline_fps, 2)
+                    if (fps and baseline_fps) else None,
+                })
+            elif fps is not None:
+                result[f"{name}_fps"] = round(fps, 1)
+                if ref_all and not skip_ref:
+                    ref = measure(f"ref:{name}", f"ref:{name}")
+                    if ref:
+                        result[f"{name}_vs_baseline"] = round(fps / ref, 2)
 
-    # inference surface (VERDICT r2 item 6): eval forwards + device beam
-    if os.environ.get("PVA_BENCH_EVAL", "1") == "1":
-        for name in ("ms_tcn", "bigru"):
-            if name in models:
-                _reset_device_state()
-                fps = bench_tpu_eval(name)
-                print(f"# tpu {name} eval: {fps:,.0f} frames/sec",
-                      file=sys.stderr)
-                result[f"{name}_eval_fps"] = round(fps, 1)
-        vps = bench_device_beam()
-        print(f"# tpu device_beam: {vps:,.1f} videos/sec", file=sys.stderr)
-        result["device_beam_videos_per_s"] = round(vps, 2)
-    print(json.dumps(result))
+        # inference surface (VERDICT r2 item 6): eval forwards + device beam
+        if os.environ.get("PVA_BENCH_EVAL", "1") == "1":
+            for name in ("ms_tcn", "bigru", "attn"):
+                if name in models:
+                    fps = measure(f"eval:{name}", f"eval:{name}")
+                    if fps is not None:
+                        result[f"{name}_eval_fps"] = round(fps, 1)
+            vps = measure("beam", "device_beam")
+            if vps is not None:
+                result["device_beam_videos_per_s"] = round(vps, 2)
+
+    result.setdefault("metric", f"{headline}_train_step_throughput")
+    result.setdefault("value", None)
+    result.setdefault("unit", "frames/sec/chip")
+    result.setdefault("vs_baseline", None)
+    if errors:
+        result["errors"] = errors
+    print(json.dumps(result), flush=True)
+    if result["value"] is None and not any(
+            k.endswith("_fps") for k in result):
+        sys.exit(1)  # nothing measured at all
 
 
 if __name__ == "__main__":

@@ -214,7 +214,10 @@ def main(argv=None):
         if loaded_state is not None:
             ts.model_state = loaded_state
         print(f'Loaded pretrained model: {model_path}')
-    if args.resume is not None and os.path.exists(args.resume):
+    # has_resume (not a bare exists): an orbax root with zero finalized
+    # steps (killed first save) falls through to a fresh start, matching
+    # the npz backend's atomic-rename semantics
+    if args.resume is not None and ckpt.has_resume(args.resume):
         bundle = ckpt.load_resume(args.resume, opt_state_like=ts.opt_state)
         ts.params, ts.opt_state = bundle['params'], bundle['opt_state']
         if bundle.get('model_state') is not None:

@@ -46,16 +46,11 @@ def init_mha(rng, embed_dim: int) -> dict:
 # post-softmax attention dropout, so full videos train on one chip without
 # the dense tensor (the reference trains full videos, networks.py:186-203).
 BLOCKWISE_MIN_T = 1024
-# KV block length for the flash scan, set by interleaved A/B on the B=4,
-# T=4096 train step (tools/ab_flash_block.py): 64 -> 18.65 ms/step vs 512
-# (the round-2 default, tuned under the dispatch-polluted roofline) ->
-# 23.11 ms — +24% train throughput.  Small [B, H, T, c] score tiles keep
-# the exp/mask/einsum chain in a cache-friendly footprint; the online-
-# softmax carry rescale fuses into the block fold either way.  64/128/256
-# sit within ~5% of each other; growth beyond 512 monotonically loses.
-import os as _os
-
-BLOCKWISE_BLOCK = int(_os.environ.get("PVA_FLASH_BLOCK", "64"))
+# KV block length for the flash scan: ops.flash.DEFAULT_BLOCK (64, tuned by
+# interleaved A/B in tools/ab_flash_block.py; PVA_FLASH_BLOCK overrides with
+# validation there).  Kept as a module attribute so A/B tools can monkeypatch
+# the trace-time constant.
+from ..ops.flash import DEFAULT_BLOCK as BLOCKWISE_BLOCK
 
 
 def blockwise_self_attention(q, k, v, key_mask):

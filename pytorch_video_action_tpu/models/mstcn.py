@@ -23,14 +23,17 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-# Rematerialization policy for the training backward, read at trace time.
-# 'layer': jax.checkpoint around each dilated residual layer; 'stage': per
-# stage; 'none' (default): let XLA save linearization points.  MEASURED:
-# both remat variants LOSE on the B=8,T=4096 bf16 step (none 6.40 ms vs
-# layer 7.26 / stage 9.91 — tools/ab_mstcn_bwd.py, docs/PERF_NOTES.md):
-# recompute cost exceeds the saved-intermediate traffic at C=64.  Kept for
-# memory-constrained shapes (T >> 4096) where remat trades speed for HBM.
-REMAT = _os.environ.get("PVA_MSTCN_REMAT", "none")
+# Rematerialization policy for the training backward, read at TRACE time
+# (inside apply, so setting PVA_MSTCN_REMAT after import still takes effect
+# on the next compile).  'layer': jax.checkpoint around each dilated
+# residual layer; 'stage': per stage; 'none' (default): let XLA save
+# linearization points.  MEASURED: both remat variants LOSE on the
+# B=8,T=4096 bf16 step (none 6.40 ms vs layer 7.26 / stage 9.91 —
+# tools/ab_mstcn_bwd.py, docs/PERF_NOTES.md): recompute cost exceeds the
+# saved-intermediate traffic at C=64.  Kept for memory-constrained shapes
+# (T >> 4096) where remat trades speed for HBM.
+def _remat() -> str:
+    return _os.environ.get("PVA_MSTCN_REMAT", "none")
 
 from ..ops.conv import conv1d, dilated_residual_layer, init_conv1d
 from ..ops.masking import length_mask
@@ -93,7 +96,7 @@ def _apply_stage(stage, x, mask, cfg, train, rng):
         if fused is not None:
             return conv1d(stage["conv_out"], fused) * mask
     rngs = split_rng(rng, len(stage["layers"]))
-    remat_layer = REMAT == "layer" and train
+    remat_layer = _remat() == "layer" and train
     for i, layer in enumerate(stage["layers"]):
         fn = partial(
             dilated_residual_layer, dilation=2 ** i,
@@ -114,7 +117,7 @@ def apply(params, cfg: MSTCNConfig, x, lengths, *, train=False, rng=None):
     mask = length_mask(lengths, x.shape[1]).astype(x.dtype)[:, :, None]
     rngs = split_rng(rng, cfg.num_stages)
     stage_fn = _apply_stage
-    if REMAT == "stage" and train:
+    if _remat() == "stage" and train:
         stage_fn = jax.checkpoint(
             lambda st, xx, mk, rr: _apply_stage(st, xx, mk, cfg, train, rr))
         stage_fn = lambda st, xx, mk, c, t, rr, _f=stage_fn: _f(st, xx, mk, rr)

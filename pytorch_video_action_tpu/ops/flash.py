@@ -25,6 +25,13 @@ in forward and backward, so the VJP is exact for the sampled mask.  The
 Fully-masked query rows (bucket padding) emit zeros with zero gradients;
 downstream masking discards them either way.
 
+Mixed precision: the QK/PV matmuls follow the INPUT dtype (pass bf16 q/k/v
+for MXU-rate bf16), while the online-softmax state (m, l, acc) and the lse
+are always f32 — the caller opts into bf16, the kernel guarantees softmax
+numerics.  The backward recompute may run a different KV block size
+(``PVA_FLASH_BLOCK_BWD``): dropout masks are keyed by global kv column, not
+block index, so any partitioning regenerates the identical sampled mask.
+
 Verified against the dense path (values + grads) and against plain autodiff
 through the same blockwise computation (dropout on) in
 ``tests/test_pallas_kernels.py``/``tests/test_model_parity.py``.
@@ -38,7 +45,37 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -1e30
-DEFAULT_BLOCK = 512
+
+
+def _env_block(name: str, default: int) -> int:
+    """Parse + validate a block-size override (advisor finding r3: an
+    unvalidated 0/negative reached the reshape deep in the scan with an
+    opaque error)."""
+    import os
+
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        val = int(raw)
+    except ValueError:
+        raise ValueError(f"{name}={raw!r} is not an integer") from None
+    if val < 1:
+        raise ValueError(f"{name} must be >= 1, got {val}")
+    return val
+
+
+# KV block length for the flash scan, set by interleaved A/B on the B=4,
+# T=4096 train step (tools/ab_flash_block.py): 64 -> 18.65 ms/step vs 512
+# (the round-2 default, tuned under the dispatch-polluted roofline) ->
+# 23.11 ms.  Small [B, H, T, c] score tiles keep the exp/mask/einsum chain
+# cache-resident; 64/128/256 sit within ~5%, >=512 monotonically loses.
+DEFAULT_BLOCK = _env_block("PVA_FLASH_BLOCK", 64)
+# The backward recompute may use its OWN block size (fwd/bwd have different
+# working sets: bwd holds dout/delta and emits dk/dv per block).  Dropout
+# masks are keyed by GLOBAL kv column (not block index), so differing
+# fwd/bwd partitions regenerate identical masks and the VJP stays exact.
+BWD_BLOCK = _env_block("PVA_FLASH_BLOCK_BWD", 0) or None
 
 
 def _kv_blocks(k, v, key_mask, block: int):
@@ -58,44 +95,77 @@ def _kv_blocks(k, v, key_mask, block: int):
     return kb, vb, mb, n, c, pad
 
 
-def _block_keep_mask(rng, step, keep: float, shape):
-    """Per-block dropout keep-mask, reproducible in the backward recompute
-    without storing it.  Counter-hash (fmix32) instead of threefry
+def _block_keep_mask(rng, col0, t_kv: int, keep: float, shape):
+    """Dropout keep-mask for one KV block, reproducible in the backward
+    recompute without storing it.  Counter-hash (fmix32) instead of threefry
     ``bernoulli``: the masks are regenerated in BOTH passes over the full
     [T, T_kv] extent, and threefry alone measured 13.7 ms of a 40 ms attn
     train step (B=4, T=4096) — the hash form cuts that ~2/3
-    (docs/PERF_NOTES.md)."""
-    from .hashmask import keep_mask, rng_seed_u32, threshold
+    (docs/PERF_NOTES.md).
 
-    return keep_mask(rng_seed_u32(rng), shape, threshold(keep), offset=step)
+    Elements are indexed by their GLOBAL position in the virtual
+    ``[B, H, T, t_kv]`` attention matrix (``col0`` = the block's first kv
+    column, a traced scalar), so the stream is independent of the block
+    partitioning — the backward may run a different block size
+    (``PVA_FLASH_BLOCK_BWD``) and still regenerate the exact sampled mask.
+    Padding columns (col0+k >= t_kv) alias into neighbouring rows' indices,
+    which is harmless: their probabilities are hard-zeroed by ``key_mask``
+    before the mask multiplies anything.
+    """
+    from jax import lax
+
+    from .hashmask import GOLDEN, fmix32, rng_seed_u32, threshold
+
+    b, h, t, c = shape
+    # same scalar key derivation as hashmask.keep_mask(offset=None)
+    key = fmix32(jnp.uint32(rng_seed_u32(rng)) + jnp.uint32(GOLDEN))
+    idx = (
+        lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(h * t * t_kv)
+        + lax.broadcasted_iota(jnp.uint32, shape, 1) * jnp.uint32(t * t_kv)
+        + lax.broadcasted_iota(jnp.uint32, shape, 2) * jnp.uint32(t_kv)
+        + lax.broadcasted_iota(jnp.uint32, shape, 3)
+        + jnp.asarray(col0).astype(jnp.uint32)
+    )
+    return fmix32(idx ^ key) < jnp.uint32(threshold(keep))
 
 
 def _flash_fwd_scan(q, k, v, key_mask, dropout_rate, rng, block):
     b, h, t, d = q.shape
+    t_kv = k.shape[2]
     kb, vb, mb, n, c, _ = _kv_blocks(k, v, key_mask, block)
     use_dropout = dropout_rate > 0.0 and rng is not None
     keep = 1.0 - dropout_rate
 
+    # Mixed precision: the QK/PV matmuls run in the INPUT dtype (callers pass
+    # bf16 under --dtype bfloat16 / mixed-precision training), but the
+    # online-softmax state — running max m, denominator l, accumulator acc —
+    # and the exp/rescale chain are ALWAYS f32: the m/l carry is
+    # catastrophically cancellation-sensitive in bf16 (8 mantissa bits), and
+    # keeping it f32 costs only VPU work that hides behind the MXU einsums.
     def fold(carry, blk):
         m, l, acc = carry
         k_c, v_c, mask_c, step = blk
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_c)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_c,
+                       preferred_element_type=jnp.float32)
         s = jnp.where(mask_c[:, None, None, :], s, NEG_INF)
         m_new = jnp.maximum(m, s.max(axis=-1))
         alpha = jnp.exp(m - m_new)
         p = jnp.exp(s - m_new[..., None])
         l = l * alpha + p.sum(axis=-1)
         if use_dropout:
-            p_num = p * _block_keep_mask(rng, step, keep, p.shape) / keep
+            p_num = p * _block_keep_mask(
+                rng, step * c, t_kv, keep, p.shape) / keep
         else:
             p_num = p
-        acc = acc * alpha[..., None] + jnp.einsum("bhqk,bhkd->bhqd", p_num, v_c)
+        acc = acc * alpha[..., None] + jnp.einsum(
+            "bhqk,bhkd->bhqd", p_num.astype(v_c.dtype), v_c,
+            preferred_element_type=jnp.float32)
         return (m_new, l, acc), None
 
     init = (
-        jnp.full((b, h, t), NEG_INF, q.dtype),
-        jnp.zeros((b, h, t), q.dtype),
-        jnp.zeros((b, h, t, d), q.dtype),
+        jnp.full((b, h, t), NEG_INF, jnp.float32),
+        jnp.zeros((b, h, t), jnp.float32),
+        jnp.zeros((b, h, t, d), jnp.float32),
     )
     (m, l, acc), _ = jax.lax.scan(
         fold, init, (kb, vb, mb, jnp.arange(n, dtype=jnp.int32))
@@ -105,7 +175,7 @@ def _flash_fwd_scan(q, k, v, key_mask, dropout_rate, rng, block):
     l_safe = jnp.maximum(l, 1e-30)
     out = jnp.where(row_valid[..., None], acc / l_safe[..., None], 0.0)
     lse = jnp.where(row_valid, m + jnp.log(l_safe), 0.0)
-    return out, lse, row_valid
+    return out.astype(q.dtype), lse, row_valid
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 6))
@@ -136,41 +206,52 @@ def _flash_vjp_bwd(dropout_rate, block, res, dout):
     q, k, v, key_mask, rng, out, lse, row_valid = res
     b, h, t, d = q.shape
     t_kv = k.shape[2]
-    kb, vb, mb, n, c, pad = _kv_blocks(k, v, key_mask, block)
+    # independent backward block size (working set differs: bwd holds
+    # dout/delta and emits dk/dv); dropout masks are global-column keyed so
+    # a different partition regenerates the identical sampled mask
+    bwd_block = BWD_BLOCK or block
+    kb, vb, mb, n, c, pad = _kv_blocks(k, v, key_mask, bwd_block)
     use_dropout = dropout_rate > 0.0 and rng is not None
     keep = 1.0 - dropout_rate
 
     # delta_i = sum_k g_ik p_ik = dout_i . out_i  — holds with dropout since
     # out = sum_k p_k m~_k v_k and g = (dout @ v^T) * m~
-    delta = jnp.sum(dout * out, axis=-1)  # [B, H, T]
+    delta = jnp.sum(dout.astype(jnp.float32) * out.astype(jnp.float32),
+                    axis=-1)  # [B, H, T] f32
     lse_safe = jnp.where(row_valid, lse, 0.0)
     rv = row_valid[..., None]
 
     def fold(dq, blk):
         k_c, v_c, mask_c, step = blk
-        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_c)
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k_c,
+                       preferred_element_type=jnp.float32)
         s = jnp.where(mask_c[:, None, None, :], s, NEG_INF)
-        p = jnp.exp(s - lse_safe[..., None]) * rv  # normalized probs
+        p = jnp.exp(s - lse_safe[..., None]) * rv  # normalized probs, f32
+        g = jnp.einsum("bhqd,bhkd->bhqk", dout, v_c,
+                       preferred_element_type=jnp.float32)
         if use_dropout:
-            keep_mask = _block_keep_mask(rng, step, keep, p.shape) / keep
+            keep_mask = _block_keep_mask(
+                rng, step * c, t_kv, keep, p.shape) / keep
             p_drop = p * keep_mask
-            g = jnp.einsum("bhqd,bhkd->bhqk", dout, v_c) * keep_mask
+            g = g * keep_mask
         else:
             p_drop = p
-            g = jnp.einsum("bhqd,bhkd->bhqk", dout, v_c)
-        dv_c = jnp.einsum("bhqk,bhqd->bhkd", p_drop, dout)
-        ds = p * (g - delta[..., None])
-        dq = dq + jnp.einsum("bhqk,bhkd->bhqd", ds, k_c)
-        dk_c = jnp.einsum("bhqk,bhqd->bhkd", ds, q)
-        return dq, (dk_c, dv_c)
+        dv_c = jnp.einsum("bhqk,bhqd->bhkd", p_drop.astype(dout.dtype), dout,
+                          preferred_element_type=jnp.float32)
+        ds = (p * (g - delta[..., None])).astype(q.dtype)
+        dq = dq + jnp.einsum("bhqk,bhkd->bhqd", ds, k_c,
+                             preferred_element_type=jnp.float32)
+        dk_c = jnp.einsum("bhqk,bhqd->bhkd", ds, q,
+                          preferred_element_type=jnp.float32)
+        return dq, (dk_c.astype(k.dtype), dv_c.astype(v.dtype))
 
-    dq0 = jnp.zeros_like(q)
+    dq0 = jnp.zeros(q.shape, jnp.float32)
     dq, (dk_blocks, dv_blocks) = jax.lax.scan(
         fold, dq0, (kb, vb, mb, jnp.arange(n, dtype=jnp.int32))
     )
     dk = dk_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, n * c, d)[:, :, :t_kv]
     dv = dv_blocks.transpose(1, 2, 0, 3, 4).reshape(b, h, n * c, d)[:, :, :t_kv]
-    return dq, dk, dv, None, None
+    return dq.astype(q.dtype), dk, dv, None, None
 
 
 flash_self_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)

@@ -86,18 +86,22 @@ def flush() -> None:
         pending, _PENDING[:] = _PENDING[:], []
     for t in pending:
         t.join()
-    # orbax backend: join its async saves too (raises on write failure)
+    # orbax backend: join its async saves too (raises on write failure) —
+    # inside try/finally so an orbax exception cannot shadow a recorded npz
+    # write failure (advisor finding, round 3)
     import sys
 
-    orbax_mod = sys.modules.get(f"{__package__}.orbax_ckpt")
-    if orbax_mod is not None:
-        orbax_mod.flush()
-    with _PENDING_LOCK:
-        if _WRITE_ERROR:
-            err = _WRITE_ERROR.pop(0)
-            _WRITE_ERROR.clear()
-            raise RuntimeError(
-                f"async checkpoint write failed: {err!r}") from err
+    try:
+        orbax_mod = sys.modules.get(f"{__package__}.orbax_ckpt")
+        if orbax_mod is not None:
+            orbax_mod.flush()
+    finally:
+        with _PENDING_LOCK:
+            if _WRITE_ERROR:
+                err = _WRITE_ERROR.pop(0)
+                _WRITE_ERROR.clear()
+                raise RuntimeError(
+                    f"async checkpoint write failed: {err!r}") from err
 
 
 def _flatten(tree, prefix=""):
@@ -249,6 +253,25 @@ def peek_opt_layout(path: str) -> str | None:
         if "opt_layout" in z.files:
             return str(z["opt_layout"])
     return None
+
+
+def has_resume(path: str) -> bool:
+    """True iff ``path`` holds a LOADABLE resume bundle.  For orbax paths
+    the manager root can exist with zero finalized steps (a run killed
+    during its first async save); treating that as resumable crashed with
+    FileNotFoundError where the npz backend's atomic tmp-rename leaves no
+    file and starts fresh (advisor finding, round 3) — so peek for a
+    finalized step instead of trusting the directory."""
+    if not os.path.exists(path):
+        return False
+    if _is_orbax(path):
+        from . import orbax_ckpt
+
+        try:
+            return orbax_ckpt.latest_step(path) is not None
+        except Exception:
+            return False
+    return True
 
 
 def load_resume(path: str, opt_state_like=None):

@@ -92,10 +92,18 @@ def save_resume(path: str, params, opt_state, epoch: int,
 
 
 def flush() -> None:
-    """Join in-flight async saves; re-raises their failure (contract of
-    ``checkpoint.flush``)."""
+    """Join in-flight async saves; re-raises the FIRST failure only after
+    every manager has been joined (a raising manager must not leave later
+    managers' writes un-awaited — advisor finding, round 3)."""
+    first_err: BaseException | None = None
     for mngr in _MANAGERS.values():
-        mngr.wait_until_finished()
+        try:
+            mngr.wait_until_finished()
+        except BaseException as e:  # noqa: BLE001 — re-raised below
+            if first_err is None:
+                first_err = e
+    if first_err is not None:
+        raise first_err
 
 
 def close() -> None:
@@ -104,6 +112,14 @@ def close() -> None:
         mngr.wait_until_finished()
         mngr.close()
     _MANAGERS.clear()
+
+
+def latest_step(path: str) -> int | None:
+    """Latest finalized step under the manager root, or None (e.g. a root
+    created by a run killed during its first async save)."""
+    if not os.path.isdir(path):
+        return None
+    return _manager(path).latest_step()
 
 
 def peek_opt_layout(path: str) -> str | None:

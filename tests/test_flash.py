@@ -85,6 +85,89 @@ def test_flash_dropout_vjp_matches_autodiff():
         )
 
 
+def test_flash_bwd_block_differs_from_fwd_exact_under_dropout():
+    """PVA_FLASH_BLOCK_BWD: the backward may run its own KV block size.
+    Dropout masks are keyed by GLOBAL kv column (not block index), so the
+    recompute regenerates the identical sampled mask and grads stay exact
+    vs autodiff through the same forward."""
+    from pytorch_video_action_tpu.ops import flash as F
+
+    q, k, v, mask, _ = _mk_qkv(seed=7)
+    rng = jax.random.PRNGKey(9)
+    w = jnp.asarray(
+        np.random.default_rng(8).normal(size=q.shape).astype(np.float32)
+    )
+    row_valid = mask[:, None, :, None]
+
+    def loss_custom(q, k, v):
+        out = flash_self_attention(q, k, v, mask, 0.4, rng, 32)
+        return jnp.sum(out * w * row_valid)
+
+    def loss_autodiff(q, k, v):
+        out, _, _ = _flash_fwd_scan(q, k, v, mask, 0.4, rng, 32)
+        return jnp.sum(out * w * row_valid)
+
+    la, ga = jax.value_and_grad(loss_autodiff, argnums=(0, 1, 2))(q, k, v)
+    orig = F.BWD_BLOCK
+    try:
+        for bwd_block in (16, 48, 96):  # != fwd 32; incl. non-divisor of T
+            F.BWD_BLOCK = bwd_block
+            lc, gc = jax.value_and_grad(
+                loss_custom, argnums=(0, 1, 2))(q, k, v)
+            np.testing.assert_allclose(float(lc), float(la), rtol=1e-5)
+            for a, b_ in zip(gc, ga):
+                np.testing.assert_allclose(
+                    np.asarray(a), np.asarray(b_), atol=2e-5, rtol=1e-4
+                )
+    finally:
+        F.BWD_BLOCK = orig
+
+
+def test_flash_bf16_inputs_f32_softmax_state():
+    """bf16 q/k/v: matmuls run in bf16 but the online-softmax state stays
+    f32 — outputs match the f32 dense reference within bf16 rounding, the
+    output dtype follows the input, and grads are bf16 and finite."""
+    q, k, v, mask, _ = _mk_qkv(t=128, seed=11)
+    out_ref = _dense(q, k, v, mask)
+    qb, kb, vb = (a.astype(jnp.bfloat16) for a in (q, k, v))
+    out = flash_self_attention(qb, kb, vb, mask, 0.0, None, 32)
+    assert out.dtype == jnp.bfloat16
+    rv = np.asarray(mask)[:, None, :, None]
+    np.testing.assert_allclose(
+        np.asarray(out, np.float32) * rv,
+        np.asarray(out_ref) * rv,
+        atol=3e-2, rtol=3e-2,  # bf16 has 8 mantissa bits
+    )
+
+    def loss(q, k, v):
+        o = flash_self_attention(q, k, v, mask, 0.3, jax.random.PRNGKey(3), 32)
+        return jnp.sum((o * mask[:, None, :, None]).astype(jnp.float32) ** 2)
+
+    grads = jax.grad(loss, argnums=(0, 1, 2))(qb, kb, vb)
+    for g in grads:
+        assert g.dtype == jnp.bfloat16
+        assert np.isfinite(np.asarray(g, np.float32)).all()
+
+
+def test_flash_env_block_validation():
+    from pytorch_video_action_tpu.ops.flash import _env_block
+
+    import os
+    os.environ["_PVA_TEST_BLOCK"] = "0"
+    try:
+        import pytest
+        with pytest.raises(ValueError, match="_PVA_TEST_BLOCK"):
+            _env_block("_PVA_TEST_BLOCK", 64)
+        os.environ["_PVA_TEST_BLOCK"] = "abc"
+        with pytest.raises(ValueError, match="_PVA_TEST_BLOCK"):
+            _env_block("_PVA_TEST_BLOCK", 64)
+        os.environ["_PVA_TEST_BLOCK"] = "128"
+        assert _env_block("_PVA_TEST_BLOCK", 64) == 128
+    finally:
+        del os.environ["_PVA_TEST_BLOCK"]
+    assert _env_block("_PVA_TEST_BLOCK", 64) == 64
+
+
 def test_flash_fully_masked_rows_zero_output_and_grads():
     q, k, v, mask, _ = _mk_qkv(b=1, t=64, seed=4)
     mask = jnp.zeros_like(mask)  # nothing attendable

@@ -122,6 +122,27 @@ def test_orbax_layout_mismatch_actionable(tmp_path):
     assert ckpt.peek_opt_layout(path) == "flat"
 
 
+def test_has_resume_empty_orbax_root_is_fresh_start(tmp_path):
+    """An orbax manager root with zero finalized steps (run killed during
+    its first async save) must NOT count as resumable — has_resume gates the
+    CLI so it falls through to a fresh start like the npz backend's atomic
+    tmp-rename does (advisor finding, round 3)."""
+    path = str(tmp_path / "empty.orbax")
+    os.makedirs(path)  # root exists, no steps
+    assert not ckpt.has_resume(path)
+    # npz semantics unchanged: missing file -> False, real file -> True
+    assert not ckpt.has_resume(str(tmp_path / "missing.npz"))
+    params = _params()
+    tx, _ = make_optimizer(1e-3, 30, 1.0)
+    npz = str(tmp_path / "real.npz")
+    ckpt.save_resume(npz, params, tx.init(params), 1)
+    assert ckpt.has_resume(npz)
+    # and once a step finalizes, the orbax root becomes resumable
+    ckpt.save_resume(path, params, tx.init(params), 1)
+    ckpt.flush()
+    assert ckpt.has_resume(path)
+
+
 def test_orbax_cli_resume(synthetic_root, tmp_path, monkeypatch):
     """`--resume foo.orbax` trains, saves rolling orbax bundles, and a second
     invocation resumes from the stored epoch (skips completed epochs)."""
