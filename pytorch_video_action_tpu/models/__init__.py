@@ -57,14 +57,22 @@ def build_model(
     attn_head: int = 4,
     use_pallas: bool = False,
     defaults: bool = False,
+    cfg_overrides: dict | None = None,
 ) -> ModelDef:
     """Build a ModelDef.
 
     ``defaults=True`` reproduces the inference drivers' construction with
     class-default hyperparameters (``inference.py:83-94``), which is the
     published checkpoint contract; otherwise the train-CLI plumbing of
-    ``train.py:218-259`` applies.
+    ``train.py:218-259`` applies.  ``cfg_overrides`` replaces fields on the
+    model's config dataclass (parity-test hook, e.g. win_attn's
+    ``mask_padding=False`` to reproduce the reference's attend-padding
+    behavior).
     """
+    import dataclasses as _dc
+
+    def _override(cfg):
+        return _dc.replace(cfg, **cfg_overrides) if cfg_overrides else cfg
     if name == "simple_fc":
         cfg = simple_fc.SimpleFCConfig(n_class=n_class)
         return ModelDef(
@@ -140,7 +148,8 @@ def build_model(
             "log_probs",
         )
     if name == "win_attn":
-        cfg = attention.WinAttnConfig(num_heads=attn_head, n_class=n_class)
+        cfg = _override(
+            attention.WinAttnConfig(num_heads=attn_head, n_class=n_class))
         return ModelDef(
             name, cfg,
             lambda rng: attention.init_win_attn(rng, cfg),

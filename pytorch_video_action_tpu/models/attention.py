@@ -162,6 +162,11 @@ class WinAttnConfig:
     n_class: int = 48
     dropout_rate: float = 0.3
     window_size: int = 5
+    # True (default): mask keys past `lengths` so outputs are invariant to
+    # bucket rounding.  False reproduces the reference exactly (attends its
+    # own zero-pad tail and batch padding, networks.py:221) for oracle
+    # parity tests.
+    mask_padding: bool = True
 
 
 def init_win_attn(rng, cfg: WinAttnConfig) -> dict:
@@ -182,8 +187,15 @@ def apply_win_attn(params, cfg: WinAttnConfig, x, lengths, *, train=False, rng=N
     scores only at row ``f - w``; all other rows stay zero before the final
     log_softmax.  Windows are gathered into one batched attention call — a
     single MXU-friendly einsum instead of the reference's per-window Python
-    loop."""
-    del lengths
+    loop.
+
+    DEVIATION (documented in README): keys beyond ``lengths`` are masked
+    out.  The reference attends over its own batch padding
+    (``networks.py:221`` operates on the padded batch), but its padding is
+    at most the batch-max delta; under this framework's bucket rounding
+    (``--bucket_multiple``) tail windows could straddle up to
+    bucket_multiple-1 padded frames, so masking makes outputs invariant to
+    the bucket size (tested in test_model_parity.py)."""
     b, t, e = x.shape
     w = cfg.window_size
     xp = jnp.pad(x, ((0, 0), (0, w), (0, 0)))
@@ -197,8 +209,15 @@ def apply_win_attn(params, cfg: WinAttnConfig, x, lengths, *, train=False, rng=N
     idx = centers[:, None] + offs[None, :]  # [n_win, 2w+1]
     win = xp[:, idx, :]  # [B, n_win, 2w+1, E]
     win = win.reshape(b * n_win, 2 * w + 1, e)
+    if cfg.mask_padding:
+        # mask keys past each sequence's true length (and the zero-pad tail)
+        key_mask = (idx[None, :, :] < lengths[:, None, None]).reshape(
+            b * n_win, 2 * w + 1
+        )
+    else:  # reference behavior: attend zero-pad + batch padding
+        key_mask = None
     feat = mha_self_attention(
-        params["attention"], win, cfg.num_heads,
+        params["attention"], win, cfg.num_heads, key_mask=key_mask,
         dropout_rate=cfg.dropout_rate, train=train, rng=rng,
     )
     center_feat = feat[:, w, :].reshape(b, n_win, e)

@@ -193,6 +193,26 @@ def _interleave_gates(parts: list[jax.Array], h: int, n_gates: int) -> jax.Array
     )
 
 
+def _pack_dir_cols(mat: jax.Array, h: int, n_gates: int, d_index: int,
+                   n_dirs: int = 2) -> jax.Array:
+    """Scatter one direction's input weights ``[D, g*H]`` into the
+    gate-grouped column layout ``[D, g*n_dirs*H]`` (zeros at the other
+    directions' columns).  Projecting with these pre-scattered weights makes
+    the MXU emit the gate-grouped xg DIRECTLY — ``x @ wi2_f + x_rev @ wi2_b``
+    — which is bit-exact vs projecting then interleaving (the zero blocks
+    contribute exact 0.0) but skips the interleave entirely.  Measured: the
+    gate-interleave concat + its transposed backward were ~10 ms of the
+    26.9 ms bigru train step (profiler, docs/PERF_NOTES.md round 4); the 2x
+    zero-block matmul waste costs ~1-2 ms against it."""
+    d_in = mat.shape[0]
+    out = jnp.zeros((d_in, n_gates * n_dirs * h), mat.dtype)
+    for g in range(n_gates):
+        out = out.at[
+            :, g * n_dirs * h + d_index * h : g * n_dirs * h + (d_index + 1) * h
+        ].set(mat[:, g * h : (g + 1) * h])
+    return out
+
+
 def _run_direction(
     cell: str,
     p: dict,
@@ -227,12 +247,54 @@ def _run_bidir_fused(
     and bwd[len-1-t] simultaneously on ``[B, 2H]`` lanes."""
     h = hidden_dim
     g = _n_gates(cell)
-    x_rev = masked_reverse(x, lengths)
-    xg_f = _layer_inputs(cell, layer["fwd"], x)
-    xg_b = _layer_inputs(cell, layer["bwd"], x_rev)
-    xg = jnp.swapaxes(_interleave_gates([xg_f, xg_b], h, g), 0, 1)  # [T,B,g*2H]
+    # project DIRECTLY into the gate-grouped layout via pre-scattered weight
+    # columns (see _pack_dir_cols) instead of projecting then interleaving
+    wi2_f = _pack_dir_cols(layer["fwd"]["wi"], h, g, 0)
+    wi2_b = _pack_dir_cols(layer["bwd"]["wi"], h, g, 1)
+    if cell == "lstm":  # both biases fold into the gates (see _layer_inputs)
+        b2 = _pack_gate_grouped_vec(
+            [layer["fwd"]["bi"] + layer["fwd"]["bh"],
+             layer["bwd"]["bi"] + layer["bwd"]["bh"]], h, g)
+    else:  # GRU hidden bias stays inside the reset gate
+        b2 = _pack_gate_grouped_vec(
+            [layer["fwd"]["bi"], layer["bwd"]["bi"]], h, g)
     wh = _pack_gate_grouped([layer["fwd"]["wh"], layer["bwd"]["wh"]], h, g)
     bh = _pack_gate_grouped_vec([layer["fwd"]["bh"], layer["bwd"]["bh"]], h, g)
+
+    if _pallas_enabled():
+        # whole-layer fused kernel: in-kernel projection, reversal via block
+        # index maps (no masked_reverse gathers), carry freeze for padding
+        from . import rnn_fused_pallas as F
+
+        b_sz, t_len = x.shape[0], x.shape[1]
+        # small batches (e.g. the attn model's whole-video regime) are padded
+        # up to the kernel's 8-row granularity: pad rows get lengths=0, so
+        # the backward chain stays frozen, the forward chain sees zero dy
+        # through the slice VJP, and weight grads are untouched — exact.
+        b_pad = (-b_sz) % 8
+        b_run = b_sz + b_pad
+        ok = (F.supported if cell == "gru" else F.lstm_supported)(
+            t_len, b_run, h, x.shape[-1], x.dtype)
+        if ok:
+            interpret = jax.default_backend() != "tpu"
+            x_run, len_run = x, lengths
+            if b_pad:
+                x_run = jnp.pad(x, ((0, b_pad), (0, 0), (0, 0)))
+                len_run = jnp.pad(lengths, (0, b_pad))
+            xt = jnp.swapaxes(x_run, 0, 1)
+            if cell == "gru":
+                ysf, ysb = F.gru_bidir_fused(
+                    xt, wi2_f, wi2_b, b2, wh, bh, len_run, interpret)
+            else:  # lstm: biases pre-folded into b2, no hidden bias operand
+                ysf, ysb = F.lstm_bidir_fused(
+                    xt, wi2_f, wi2_b, b2, wh, len_run, interpret)
+            ys = jnp.swapaxes(jnp.concatenate([ysf, ysb], axis=-1), 0, 1)
+            if b_pad:
+                ys = ys[:b_sz]
+            return ys * mask_bt.astype(x.dtype)[:, :, None]
+
+    x_rev = masked_reverse(x, lengths)
+    xg = jnp.swapaxes(x @ wi2_f + x_rev @ wi2_b + b2, 0, 1)  # [T,B,g*2H]
     m = jnp.swapaxes(mask_bt.astype(x.dtype)[:, :, None], 0, 1)
     ys = jnp.swapaxes(_scan_packed(cell, xg, wh, bh, m, 2 * h), 0, 1)  # [B,T,2H]
     y_f, y_b = ys[..., :h], ys[..., h:]

@@ -280,3 +280,19 @@ def test_device_beam_oov_label_matches_host(arpa_path):
                                  pack_candidates(effective, n_labels)[1], 3)
     for h, d in zip(host_out, dev_out):
         assert [int(x) for x in h] == d, (h, d)
+
+
+def test_binary_kenlm_model_raises_actionable_error(tmp_path):
+    """A kenlm BINARY model (magic `mmap lm ...`) must fail with a message
+    naming the limitation, not an opaque parse crash (the reference loads
+    binaries via the real kenlm, inference-lm.py:71)."""
+    import pytest
+
+    from pytorch_video_action_tpu.lm.arpa import ArpaLanguageModel, LanguageModel
+
+    p = tmp_path / "model.binary"
+    p.write_bytes(b"mmap lm http://kheafield.com/code format version 5\n\x00" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="BINARY"):
+        ArpaLanguageModel(str(p))
+    with pytest.raises(ValueError, match="kenlm"):
+        LanguageModel(str(p))

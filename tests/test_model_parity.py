@@ -198,10 +198,44 @@ def test_attn_masked_pooling_padding_invariant(mode):
 
 
 def test_win_attn_parity():
+    # mask_padding=False reproduces the reference exactly (it attends its
+    # zero-pad tail, networks.py:221); the default masks past `lengths`
     x, lengths = _inputs(equal_lengths=True, t=23)
     net = ref_nets.ExpWindowAttention(D, 4, n_class=N_CLASS)
-    jd = build_model("win_attn", N_CLASS, attn_head=4)
+    jd = build_model("win_attn", N_CLASS, attn_head=4,
+                     cfg_overrides={"mask_padding": False})
     _compare("win_attn", net, jd, x, lengths, atol=5e-4)
+
+
+def test_win_attn_bucket_padding_invariance():
+    """Default (mask_padding=True): outputs on valid rows are invariant to
+    bucket rounding — padding a ragged batch out to a larger bucket multiple
+    must not change any valid-frame score (VERDICT r3 weak-item 8)."""
+    rng = np.random.default_rng(11)
+    b, t_exact, pad_to = 2, 23, 64  # bucket-rounded shape >> exact
+    x = rng.normal(size=(b, t_exact, D)).astype(np.float32)
+    lengths = np.array([23, 17], np.int64)
+    x[1, 17:] = 0.0
+    jd = build_model("win_attn", N_CLASS, attn_head=4)
+    params = jd.init(jax.random.PRNGKey(0))
+    out_exact = np.asarray(
+        jd.apply(params, jnp.asarray(x), jnp.asarray(lengths), train=False)
+    ).reshape(b, t_exact, N_CLASS)
+    xp = np.zeros((b, pad_to, D), np.float32)
+    xp[:, :t_exact] = x
+    out_pad = np.asarray(
+        jd.apply(params, jnp.asarray(xp), jnp.asarray(lengths), train=False)
+    ).reshape(b, pad_to, N_CLASS)
+    # compare rows that received a window score in BOTH shapes: centers are
+    # w, 2w, ... so the padded run scores MORE rows; every row scored in the
+    # exact run must agree on valid frames
+    w = 5  # WinAttnConfig.window_size default
+    for i, l in enumerate(lengths):
+        for f in range(w, t_exact, w):
+            row = f - w
+            if row < l:
+                np.testing.assert_allclose(
+                    out_pad[i, row], out_exact[i, row], atol=1e-5, rtol=1e-5)
 
 
 def test_mstcn_parity():

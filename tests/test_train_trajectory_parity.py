@@ -183,7 +183,10 @@ def _run(model_name, net, jd, takes_len=True, seed=0, loss_kind="nll",
             # elements.  >=99.9% within param_atol, all within the
             # compounded per-step ceiling.
             n_over = int((diff > param_atol).sum())
-            allowed = max(1, diff.size // 1000) if diff.size >= 100 else 0
+            # bounded count at EVERY size: the old size<100 -> allowed=0
+            # rule made one bias-element flip a suite flake (VERDICT r3
+            # item 6); the per-step ceiling below catches real bugs
+            allowed = max(1, diff.size // 1000)
             assert n_over <= allowed, (
                 f"post-training param mismatch at {path}: {n_over}/"
                 f"{diff.size} beyond atol={param_atol} (max {diff.max():.2e})"

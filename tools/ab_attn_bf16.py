@@ -1,12 +1,17 @@
-"""Interleaved A/B over flash-attention KV block sizes on the attn train step.
+"""Interleaved A/B: attn train step f32 vs bf16 mixed precision.
 
-Motivation: the online-softmax scan rescales its [B, H, T, d] accumulator
-every block, so at T=4096 with block=512 the carry alone streams ~8x more
-than at block=4096; conversely larger blocks materialize larger [T, c]
-score tiles.  DEFAULT_BLOCK=512 was chosen under the dispatch-polluted
-roofline (docs/PERF_NOTES.md round-3 correction) — re-measure.
+VERDICT r3 item 4: bench.py hard-excluded attn from bf16 ("flash softmax
+accumulators are exactness-sensitive") WITHOUT a measurement — the exact
+assumption-instead-of-A/B pattern that mispriced ms_tcn bf16 in round 1.
+ops/flash.py now keeps the online-softmax state (m, l, acc) f32 regardless
+of input dtype, so bf16 only touches the QK/PV matmuls + the surrounding
+model body; this measures whether that pays on the B=4, T=4096 step.
 
-Usage: python tools/ab_flash_block.py [--steps 50 --reps 5]
+Optionally sweeps PVA_FLASH_BLOCK_BWD (--bwd_blocks) in the same interleaved
+run: the backward recompute holds a different working set than the forward
+(dout/delta live, dk/dv emitted), so its optimum may differ from the fwd 64.
+
+Usage: python tools/ab_attn_bf16.py [--steps 50 --reps 5 --bwd_blocks 0,128]
 """
 
 from __future__ import annotations
@@ -27,7 +32,8 @@ def main(argv=None):
     ap.add_argument("--reps", type=int, default=5)
     ap.add_argument("--b", type=int, default=4)
     ap.add_argument("--t", type=int, default=4096)
-    ap.add_argument("--blocks", type=str, default="256,512,1024,2048,4096")
+    ap.add_argument("--bwd_blocks", type=str, default="0",
+                    help="comma list; 0 = same as fwd block")
     args = ap.parse_args(argv)
 
     from __graft_entry__ import _enable_compile_cache
@@ -38,8 +44,8 @@ def main(argv=None):
     import numpy as np
     import optax
 
-    import pytorch_video_action_tpu.models.attention as attn_mod
     from pytorch_video_action_tpu.models import build_model
+    from pytorch_video_action_tpu.ops import flash as flash_mod
     from pytorch_video_action_tpu.train.losses import make_loss_fn
     from pytorch_video_action_tpu.train.optim import make_optimizer
 
@@ -54,12 +60,17 @@ def main(argv=None):
     lengths = jnp.full((b,), t, dtype=jnp.int32)
     targets = jnp.asarray(rng.integers(0, n_class, size=(b * t,)))
     key = jax.random.PRNGKey(1)
+    orig_bwd = flash_mod.BWD_BLOCK
 
-    def make(block):
-        attn_mod.BLOCKWISE_BLOCK = block  # trace-time constant
+    def make(dtype, bwd_block):
+        cd = None if dtype == "f32" else jnp.bfloat16
+        flash_mod.BWD_BLOCK = bwd_block or None  # trace-time constant
 
         def loss_fn(p, k):
-            out = model.apply(p, x, lengths, train=True, rng=k)
+            if cd is not None:
+                p = jax.tree.map(lambda a: a.astype(cd), p)
+            out = model.apply(p, x.astype(cd) if cd is not None else x,
+                              lengths, train=True, rng=k)
             return loss(out, targets)
 
         @jax.jit
@@ -75,13 +86,15 @@ def main(argv=None):
 
         s0 = tx.init(params)
         out = run(params, s0)
-        assert np.isfinite(float(out[2])), block
-        attn_mod.BLOCKWISE_BLOCK = orig_block
+        assert np.isfinite(float(out[2])), (dtype, bwd_block)
+        flash_mod.BWD_BLOCK = orig_bwd
         return run, s0
 
-    orig_block = attn_mod.BLOCKWISE_BLOCK
+    arms = {}
+    for bwd in (int(v) for v in args.bwd_blocks.split(",")):
+        for dt in ("f32", "bf16"):
+            arms[f"{dt}/bwd{bwd or 'fwd'}"] = make(dt, bwd)
 
-    arms = {blk: make(int(blk)) for blk in args.blocks.split(",")}
     times = {k: [] for k in arms}
     for _ in range(args.reps):
         for name, (fn, s) in arms.items():
@@ -90,8 +103,8 @@ def main(argv=None):
             times[name].append(time.perf_counter() - t0)
     for name in arms:
         med = statistics.median(times[name]) * 1000 / args.steps
-        print(f"block {name:>5s}: {med:7.3f} ms/step  "
-              f"{b * t / med * 1000:12,.0f} frames/s")
+        fps = args.b * args.t / (med / 1000)
+        print(f"{name:>14}: {med:7.2f} ms/step  {fps:,.0f} frames/s")
 
 
 if __name__ == "__main__":
