@@ -37,6 +37,22 @@ CONV_TAPS = _os.environ.get("PVA_CONV_TAPS", "1") == "1"
 # shuffles are cheap.
 PACKED_MASKS = _os.environ.get("PVA_PACKED_MASKS", "0") == "1"
 
+# Packed backward for the K=3 tap conv: a custom VJP that computes all three
+# tap weight grads in ONE [3C, B*T] @ [B*T, C'] MXU dot (shifted input views
+# concatenated along channels) and dx in ONE [B*T, C'] @ [C', 3C] dot whose
+# three channel blocks are shift-added back — instead of autodiff's six
+# narrow [64, B*T]-style dots per layer (~320 per MS-TCN step).
+# MEASURED SLOWER and default off: the channel concat materializes a
+# [B,T,3C] array per layer whose HBM write (~12.5 MB bf16 x 80 layers)
+# exceeds what the wider dot saves — the per-tap dW dots already stream
+# efficiently because the contraction (B*T = 32k) is long; narrow OUTPUT
+# tiles are not the bottleneck.  Interleaved A/B (tools/ab_conv_packbwd*.py,
+# bf16 bench config): nopack 6.13 ms vs pack 8.12 (dw-half +1.9 ms,
+# dx-half +0.23 ms).  Grad-exactness pinned across dilation classes by
+# test_conv_pack_bwd_matches_autodiff; kept for hardware where concat
+# writes are cheap relative to dot issue overhead.
+PACK_BWD = _os.environ.get("PVA_CONV_PACK_BWD", "0") == "1"
+
 
 def init_conv1d(rng, in_ch: int, out_ch: int, kernel: int) -> dict:
     fan_in = in_ch * kernel
@@ -48,29 +64,87 @@ def init_conv1d(rng, in_ch: int, out_ch: int, kernel: int) -> dict:
     }
 
 
+def _shift_left(a: jax.Array, d: int) -> jax.Array:
+    """``out[t] = a[t + d]`` with zero fill past the end."""
+    t = a.shape[1]
+    return jnp.pad(a, ((0, 0), (0, d), (0, 0)))[:, d:]
+
+
+def _shift_right(a: jax.Array, d: int) -> jax.Array:
+    """``out[t] = a[t - d]`` with zero fill before the start."""
+    t = a.shape[1]
+    return jnp.pad(a, ((0, 0), (d, 0), (0, 0)))[:, :t]
+
+
+def _tap3_value(d: int, w: jax.Array, b: jax.Array, x: jax.Array) -> jax.Array:
+    t = x.shape[1]
+    if d >= t:
+        # taps beyond the sequence are all-zero under 'same' zero padding,
+        # so the layer degenerates to its center tap — and skips
+        # materializing a [B, T+d, C] pad (MS-TCN dilations reach 2^19 >> T,
+        # networks.py:316; value+grad equivalence for d >= T is pinned by
+        # test_conv_taps_matches_conv_op[64,200])
+        return x @ w[1] + b
+    left = _shift_right(x, d)   # x[t - d]
+    right = _shift_left(x, d)   # x[t + d]
+    return left @ w[0] + x @ w[1] + right @ w[2] + b
+
+
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _tap3_packed(d: int, w: jax.Array, b: jax.Array, x: jax.Array):
+    return _tap3_value(d, w, b, x)
+
+
+def _tap3_packed_fwd(d, w, b, x):
+    return _tap3_value(d, w, b, x), (w, x)
+
+
+def _tap3_packed_bwd(d, res, g):
+    w, x = res
+    bsz, t, c = x.shape
+    cp = g.shape[-1]
+    gf = g.reshape(bsz * t, cp)
+    db = gf.sum(0).astype(g.dtype)
+    if d >= t:
+        dw1 = x.reshape(bsz * t, c).T @ gf
+        zero = jnp.zeros_like(dw1)
+        return jnp.stack([zero, dw1, zero]), db, g @ w[1].T
+    # dW: one [3C, B*T] @ [B*T, C'] dot over the channel-concatenated
+    # shifted views (each output element sums the same products as the
+    # per-tap dots — packing widens only the non-contracted axis).
+    xt = jnp.concatenate([_shift_right(x, d), x, _shift_left(x, d)], axis=-1)
+    dw = (xt.reshape(bsz * t, 3 * c).T @ gf).reshape(3, c, cp)
+    # dx: one [B*T, C'] @ [C', 3C] dot; block k holds g @ w[k]^T and is
+    # shift-added at its tap offset (out[t] consumed x[t - d] via w0 and
+    # x[t + d] via w2, so their cotangents travel the opposite shifts).
+    dtap = (gf @ w.reshape(3 * c, cp).T).reshape(bsz, t, 3, c)
+    dx = (_shift_left(dtap[:, :, 0], d) + dtap[:, :, 1]
+          + _shift_right(dtap[:, :, 2], d))
+    return dw, db, dx
+
+
+_tap3_packed.defvjp(_tap3_packed_fwd, _tap3_packed_bwd)
+
+
 def conv1d(p: dict, x: jax.Array, dilation: int = 1) -> jax.Array:
     """'same'-padded dilated conv: pad = dilation*(K-1)/2 like the reference's
     ``nn.Conv1d(..., padding=dilation, dilation=dilation)`` with K=3.
 
     With ``CONV_TAPS`` (default), K=1/K=3 run as matmul taps over shifted
-    views — ~2x faster than the conv op on this workload (see flag note)."""
+    views — ~2x faster than the conv op on this workload (see flag note);
+    ``PACK_BWD`` additionally routes K=3 through the packed-backward custom
+    VJP."""
     w = p["w"]
     k = w.shape[0]
     if CONV_TAPS and k == 1:
         return x @ w[0] + p["b"]
     if CONV_TAPS and k == 3:
-        d = dilation
-        t = x.shape[1]
-        if d >= t:
-            # taps beyond the sequence are all-zero under 'same' zero
-            # padding, so the layer degenerates to its center tap — and
-            # skips materializing a [B, T+d, C] pad (MS-TCN dilations reach
-            # 2^19 >> T, networks.py:316; value+grad equivalence for d >= T
-            # is pinned by test_conv_taps_matches_conv_op[64,200])
-            return x @ w[1] + p["b"]
-        left = jnp.pad(x, ((0, 0), (d, 0), (0, 0)))[:, :t]   # x[t - d]
-        right = jnp.pad(x, ((0, 0), (0, d), (0, 0)))[:, d:]  # x[t + d]
-        return left @ w[0] + x @ w[1] + right @ w[2] + p["b"]
+        if PACK_BWD:
+            return _tap3_packed(int(dilation), w, p["b"], x)
+        return _tap3_value(int(dilation), w, p["b"], x)
     pad = dilation * (k - 1) // 2
     out = jax.lax.conv_general_dilated(
         x,

@@ -244,6 +244,50 @@ def test_conv_taps_matches_conv_op(dilation):
                                        atol=5e-4, rtol=1e-4)
 
 
+@pytest.mark.parametrize("dilation", [1, 2, 16, 63, 64, 200])
+def test_conv_pack_bwd_matches_autodiff(dilation):
+    """PACK_BWD custom VJP (ops/conv.py _tap3_packed — all three tap dWs in
+    one [3C,B*T]@[B*T,C'] dot, dx in one [B*T,C']@[C',3C] dot) computes the
+    same sums per grad element as autodiff of the per-tap form, for every
+    dilation class incl. d >= T (center-tap short circuit)."""
+    import pytorch_video_action_tpu.ops.conv as conv_mod
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.normal(size=(2, 64, 16)).astype(np.float32))
+    p = {
+        "w": jnp.asarray(rng.normal(size=(3, 16, 24)).astype(np.float32)),
+        "b": jnp.asarray(rng.normal(size=(24,)).astype(np.float32)),
+    }
+    co = jnp.asarray(rng.normal(size=(2, 64, 24)).astype(np.float32))
+
+    def loss_packed(p, x):
+        return (conv_mod._tap3_packed(dilation, p["w"], p["b"], x) * co).sum()
+
+    def loss_plain(p, x):
+        return (conv_mod._tap3_value(dilation, p["w"], p["b"], x) * co).sum()
+
+    va = loss_packed(p, x)
+    vb = loss_plain(p, x)
+    np.testing.assert_allclose(np.asarray(va), np.asarray(vb), rtol=1e-6)
+    ga = jax.grad(loss_packed, argnums=(0, 1))(p, x)
+    gb = jax.grad(loss_plain, argnums=(0, 1))(p, x)
+    for la, lb in zip(jax.tree_util.tree_leaves(ga),
+                      jax.tree_util.tree_leaves(gb)):
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   atol=1e-5, rtol=1e-5)
+    # bf16 operands must also round-trip (the bench path casts params+x)
+    pb = jax.tree.map(lambda a: a.astype(jnp.bfloat16), p)
+    xb = x.astype(jnp.bfloat16)
+    gb16 = jax.grad(
+        lambda p, x: conv_mod._tap3_packed(dilation, p["w"], p["b"], x)
+        .astype(jnp.float32).sum(), argnums=(0, 1))(pb, xb)
+    for leaf, ref in zip(jax.tree_util.tree_leaves(gb16),
+                         jax.tree_util.tree_leaves(
+                             (pb, xb))):
+        assert leaf.dtype == ref.dtype
+        assert bool(jnp.isfinite(leaf.astype(jnp.float32)).all())
+
+
 def test_mstcn_remat_grads_match_default():
     """PVA_MSTCN_REMAT=layer/stage recomputes the backward from checkpoints;
     the counter-hash dropout masks regenerate bit-identically in the
