@@ -25,8 +25,15 @@ def _lib_path() -> str:
 
 
 def load_native_library():
+    """Load (and memoize) the helper library.
+
+    Only SUCCESSFUL loads are cached: the library may be built after the
+    first failed attempt (e.g. the golden-fixture test runs `make` when it
+    finds the scorer unavailable), so a memoized failure would wrongly pin
+    every later caller to the Python fallback for the process lifetime.
+    """
     global _LIB, _TRIED
-    if _TRIED:
+    if _LIB is not None:
         return _LIB
     _TRIED = True
     path = os.environ.get("PVA_NATIVE_LIB", _lib_path())

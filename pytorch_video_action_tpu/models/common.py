@@ -30,6 +30,13 @@ def dropout(rng, x: jax.Array, rate: float, train: bool) -> jax.Array:
     if not train or rate <= 0.0 or rng is None:
         return x
     keep = 1.0 - rate
+    from ..ops import hashmask
+
+    if hashmask.MODEL_DROPOUT:
+        # counter-hash mask stream (~7 int ops/word vs threefry's ~20+);
+        # A/B-measured on the bigru/bilstm steps before defaulting
+        # (docs/PERF_NOTES.md round-4 model-dropout entry)
+        return hashmask.hash_dropout(rng, x, keep)
     return x * jax.random.bernoulli(rng, keep, x.shape) / keep
 
 

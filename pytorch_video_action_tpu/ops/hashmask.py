@@ -126,3 +126,23 @@ def keep_mask8(seed_u32, shape, keep: float, offset=None):
     bytes_ = (w >> (shifts * jnp.uint32(8))) & jnp.uint32(0xFF)
     tb = jnp.uint32(int(round(keep * 256)))
     return (bytes_ < tb).reshape(shape)
+
+
+# Model-body dropout (input dropout + RNN inter-layer dropout in
+# models/common.py and ops/rnn.py) on the hash stream instead of threefry.
+# The round-2 "bigru no-gain (masks hide in scan bubbles)" result was
+# measured on the dispatch-polluted methodology and pre-dates the fused
+# layer kernels; the round-4 profile showed ~3.9 ms of threefry in the
+# 26.9 ms bigru step (docs/PERF_NOTES.md).  PVA_MODEL_HASH_DROPOUT=0
+# restores threefry.
+import os as _os
+
+MODEL_DROPOUT = _os.environ.get("PVA_MODEL_HASH_DROPOUT", "1") == "1"
+
+
+def hash_dropout(rng, x, keep: float):
+    """Inverted dropout drawing the keep-mask from the counter-hash stream
+    (one fmix32 word per element, seeded from ``rng``) — the same stream
+    the conv/flash/SP paths use."""
+    km = keep_mask(rng_seed_u32(rng), x.shape, threshold(keep))
+    return jnp.where(km, x * (1.0 / keep), jnp.zeros((), x.dtype))

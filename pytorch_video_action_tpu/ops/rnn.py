@@ -234,6 +234,20 @@ def _run_direction(
     return ys
 
 
+def _pack_bidir(cell: str, layer: dict, h: int, g: int):
+    """Gate-grouped packed (b2, wh, bh) for the merged-step paths."""
+    if cell == "lstm":  # both biases fold into the gates (see _layer_inputs)
+        b2 = _pack_gate_grouped_vec(
+            [layer["fwd"]["bi"] + layer["fwd"]["bh"],
+             layer["bwd"]["bi"] + layer["bwd"]["bh"]], h, g)
+    else:  # GRU hidden bias stays inside the reset gate
+        b2 = _pack_gate_grouped_vec(
+            [layer["fwd"]["bi"], layer["bwd"]["bi"]], h, g)
+    wh = _pack_gate_grouped([layer["fwd"]["wh"], layer["bwd"]["wh"]], h, g)
+    bh = _pack_gate_grouped_vec([layer["fwd"]["bh"], layer["bwd"]["bh"]], h, g)
+    return b2, wh, bh
+
+
 def _run_bidir_fused(
     cell: str,
     layer: dict,
@@ -247,19 +261,6 @@ def _run_bidir_fused(
     and bwd[len-1-t] simultaneously on ``[B, 2H]`` lanes."""
     h = hidden_dim
     g = _n_gates(cell)
-    # project DIRECTLY into the gate-grouped layout via pre-scattered weight
-    # columns (see _pack_dir_cols) instead of projecting then interleaving
-    wi2_f = _pack_dir_cols(layer["fwd"]["wi"], h, g, 0)
-    wi2_b = _pack_dir_cols(layer["bwd"]["wi"], h, g, 1)
-    if cell == "lstm":  # both biases fold into the gates (see _layer_inputs)
-        b2 = _pack_gate_grouped_vec(
-            [layer["fwd"]["bi"] + layer["fwd"]["bh"],
-             layer["bwd"]["bi"] + layer["bwd"]["bh"]], h, g)
-    else:  # GRU hidden bias stays inside the reset gate
-        b2 = _pack_gate_grouped_vec(
-            [layer["fwd"]["bi"], layer["bwd"]["bi"]], h, g)
-    wh = _pack_gate_grouped([layer["fwd"]["wh"], layer["bwd"]["wh"]], h, g)
-    bh = _pack_gate_grouped_vec([layer["fwd"]["bh"], layer["bwd"]["bh"]], h, g)
 
     if _pallas_enabled():
         # whole-layer fused kernel: in-kernel projection, reversal via block
@@ -282,17 +283,44 @@ def _run_bidir_fused(
                 x_run = jnp.pad(x, ((0, b_pad), (0, 0), (0, 0)))
                 len_run = jnp.pad(lengths, (0, b_pad))
             xt = jnp.swapaxes(x_run, 0, 1)
-            if cell == "gru":
-                ysf, ysb = F.gru_bidir_fused(
-                    xt, wi2_f, wi2_b, b2, wh, bh, len_run, interpret)
-            else:  # lstm: biases pre-folded into b2, no hidden bias operand
-                ysf, ysb = F.lstm_bidir_fused(
-                    xt, wi2_f, wi2_b, b2, wh, len_run, interpret)
+            lf, lb = layer["fwd"], layer["bwd"]
+            if F.SPLIT:
+                # direction-split step bodies consume raw torch layouts —
+                # no packing (or its transposed VJP) ever traces
+                if cell == "gru":
+                    ysf, ysb = F.gru_bidir_fused_split(
+                        xt, lf["wi"], lb["wi"], lf["bi"], lb["bi"],
+                        lf["wh"], lb["wh"], lf["bh"], lb["bh"],
+                        len_run, interpret)
+                else:  # lstm folds both biases into the gates
+                    ysf, ysb = F.lstm_bidir_fused_split(
+                        xt, lf["wi"], lb["wi"], lf["bi"] + lf["bh"],
+                        lb["bi"] + lb["bh"], lf["wh"], lb["wh"],
+                        len_run, interpret)
+            else:
+                b2, wh, bh = _pack_bidir(cell, layer, h, g)
+                # input weights go in DENSE (torch weight_ih layout) — the
+                # kernel merges gates in-kernel, so no _pack_dir_cols
+                # scatter (or its transposed VJP) ever traces on this path
+                if cell == "gru":
+                    ysf, ysb = F.gru_bidir_fused(
+                        xt, lf["wi"], lb["wi"], b2, wh, bh,
+                        len_run, interpret)
+                else:  # lstm: biases pre-folded, no hidden bias operand
+                    ysf, ysb = F.lstm_bidir_fused(
+                        xt, lf["wi"], lb["wi"], b2, wh,
+                        len_run, interpret)
             ys = jnp.swapaxes(jnp.concatenate([ysf, ysb], axis=-1), 0, 1)
             if b_pad:
                 ys = ys[:b_sz]
             return ys * mask_bt.astype(x.dtype)[:, :, None]
 
+    # XLA fallback: project DIRECTLY into the gate-grouped layout via
+    # pre-scattered weight columns (see _pack_dir_cols) instead of
+    # projecting then interleaving
+    b2, wh, bh = _pack_bidir(cell, layer, h, g)
+    wi2_f = _pack_dir_cols(layer["fwd"]["wi"], h, g, 0)
+    wi2_b = _pack_dir_cols(layer["bwd"]["wi"], h, g, 1)
     x_rev = masked_reverse(x, lengths)
     xg = jnp.swapaxes(x @ wi2_f + x_rev @ wi2_b + b2, 0, 1)  # [T,B,g*2H]
     m = jnp.swapaxes(mask_bt.astype(x.dtype)[:, :, None], 0, 1)
@@ -341,7 +369,13 @@ def rnn_apply(
         if train and dropout_rate > 0.0 and li < len(layers) - 1 and rng is not None:
             rng, sub = jax.random.split(rng)
             keep = 1.0 - dropout_rate
-            out = out * jax.random.bernoulli(sub, keep, out.shape) / keep
+            from . import hashmask
+
+            if hashmask.MODEL_DROPOUT:
+                # hash-stream masks (see models/common.py dropout note)
+                out = hashmask.hash_dropout(sub, out, keep)
+            else:
+                out = out * jax.random.bernoulli(sub, keep, out.shape) / keep
     return out
 
 

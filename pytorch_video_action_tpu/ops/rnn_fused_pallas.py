@@ -22,9 +22,15 @@ eliminates all of it with TPU-native machinery instead of data movement:
   ``masked_reverse`` semantics exactly on valid frames (the forward chain
   needs no freeze: prefix-form validity).
 * **In-kernel projection.**  Input gates are computed per chunk on the MXU
-  from pre-scattered weight columns (``ops.rnn._pack_dir_cols`` layout:
-  direction-f columns at gate-grouped positions, zeros elsewhere), so the
-  gate-grouped xg tensor never exists in HBM.
+  with DENSE per-direction weights (``[W_in, gH]`` — the torch ``wi``
+  layout, no packing), then merged into the gate-grouped step layout once
+  per chunk via lane-aligned slice concats (H % 128 == 0), so the
+  gate-grouped xg tensor never exists in HBM.  An earlier revision
+  projected through pre-scattered ``[W_in, 2gH]`` columns
+  (``ops.rnn._pack_dir_cols``) — bit-equivalent but 2x the MACs (half the
+  output columns were structural zeros); the dense form halves projection
+  FLOPs and weight VMEM and keeps the per-step body untouched (the merge
+  happens outside the sequential chain).
 * **Saved-gates backward.**  The forward emits (r, z, n, hg_n) residuals;
   the VJP kernel consumes them in reverse block order, accumulates dwh/dbh/
   dwi/dbi in VMEM f32 scratch, and emits dx for both directions (the
@@ -61,6 +67,7 @@ def _pick_chunk(t: int, b: int, h: int, w_in: int, dtype) -> int | None:
     sz = _itemsize(dtype)
     w2 = 2 * h
     gw2 = 6 * h
+    g3 = 3 * h
     for chunk in (32, 16, 8, 4):
         if t % chunk:
             continue
@@ -77,12 +84,13 @@ def _pick_chunk(t: int, b: int, h: int, w_in: int, dtype) -> int | None:
             + 2 * chunk * b * w_in * sz    # dxf + dxb
         ) * 2
         scratch = (
-            2 * chunk * b * gw2 * 4        # xg2 chunks f32 (fwd) / dxg2 (bwd)
+            chunk * b * gw2 * 4            # xg2 chunk f32 (fwd) / dxg2 (bwd)
+            + 3 * chunk * b * g3 * 4       # dense-dot + flip temporaries
             + b * w2 * 4 * 2               # h / dh carry
         )
         weights = (
-            2 * w_in * gw2 * sz + w2 * gw2 * sz + 3 * gw2 * 4
-            + 2 * w_in * gw2 * 4 + w2 * gw2 * 4  # bwd f32 accumulators
+            2 * w_in * g3 * sz + w2 * gw2 * sz + 3 * gw2 * 4
+            + 2 * w_in * g3 * 4 + w2 * gw2 * 4  # bwd f32 accumulators
         )
         if max(streams_fwd, streams_bwd) + scratch + weights <= _VMEM_BUDGET:
             return chunk
@@ -90,11 +98,11 @@ def _pick_chunk(t: int, b: int, h: int, w_in: int, dtype) -> int | None:
 
 
 def supported(t: int, b: int, h: int, w_in: int, dtype) -> bool:
-    return (
-        b % 8 == 0
-        and h % 128 == 0
-        and _pick_chunk(t, b, h, w_in, dtype) is not None
-    )
+    if b % 8 or h % 128:
+        return False
+    pick = (_pick_chunk_split(t, b, h, w_in, dtype, 3, False)
+            if SPLIT else _pick_chunk(t, b, h, w_in, dtype))
+    return pick is not None
 
 
 # ----------------------------------------------------------------- forward
@@ -104,9 +112,9 @@ def _fwd_kernel(t_total, chunk, h, train,
                 xf_ref, xr_ref, wif_ref, wib_ref, bi2_ref, wh2_ref, bh2_ref,
                 len_ref, ysf_ref, ysb_ref, *rest):
     if train:
-        res_ref, h_ref, xgf_ref, xgb_ref = rest
+        res_ref, h_ref, xg2_ref = rest
     else:
-        h_ref, xgf_ref, xgb_ref = rest
+        h_ref, xg2_ref = rest
         res_ref = None
     i = pl.program_id(0)
 
@@ -116,26 +124,36 @@ def _fwd_kernel(t_total, chunk, h, train,
 
     b = xf_ref.shape[1]
     w_in = xf_ref.shape[2]
-    gw2 = 6 * h
+    g3 = 3 * h
 
-    # per-chunk input projections on the MXU (block-natural order; the
-    # reversed view is consumed flipped in-block at step time)
+    # per-chunk DENSE input projections on the MXU (torch wi layout — no
+    # structural-zero columns), merged into the gate-grouped step layout
+    # once per chunk, off the sequential chain
     xf2d = xf_ref[:].reshape(chunk * b, w_in)
     xr2d = xr_ref[:].reshape(chunk * b, w_in)
-    xgf_ref[:] = jnp.dot(
+    xgf = jnp.dot(
         xf2d, wif_ref[:], preferred_element_type=jnp.float32
-    ).reshape(chunk, b, gw2)
-    xgb_ref[:] = jnp.dot(
+    ).reshape(chunk, b, g3)
+    xgb = jnp.dot(
         xr2d, wib_ref[:], preferred_element_type=jnp.float32
-    ).reshape(chunk, b, gw2)
+    ).reshape(chunk, b, g3)
+    # flip the reversed view's rows so xg2[t] pairs fwd step t with bwd
+    # step t directly (static slice-concat: Mosaic has no `rev` lowering)
+    xgb = jnp.concatenate(
+        [xgb[chunk - 1 - u] for u in range(chunk)], axis=0
+    ).reshape(chunk, b, g3)
+    # gate-grouped merge: [r_f r_b z_f z_b n_f n_b], lane-aligned H chunks
+    xg2_ref[:] = jnp.concatenate(
+        [p for g in range(3)
+         for p in (xgf[:, :, g * h:(g + 1) * h],
+                   xgb[:, :, g * h:(g + 1) * h])],
+        axis=-1)
 
     lengths = len_ref[:]  # [B, 1] int32
 
     def body(t, _):
         s = i * chunk + t  # kernel step
-        # gate-grouped x gates: fwd cols from the fwd view at t, bwd cols
-        # from the reversed view at CH-1-t (disjoint column support)
-        g_x = xgf_ref[t] + xgb_ref[chunk - 1 - t] + bi2_ref[0]
+        g_x = xg2_ref[t] + bi2_ref[0]
         h2 = h_ref[:]
         hg = jnp.dot(
             h2.astype(wh2_ref.dtype), wh2_ref[:],
@@ -196,9 +214,9 @@ def _fwd_call(x, wif2, wib2, bi2, wh2, bh2, lengths, *, train, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, w_in), lambda i, n=n: (n - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_in, gw2), lambda i: (0, 0),
+            pl.BlockSpec((w_in, 3 * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_in, gw2), lambda i: (0, 0),
+            pl.BlockSpec((w_in, 3 * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gw2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * h, gw2), lambda i: (0, 0),
@@ -210,8 +228,7 @@ def _fwd_call(x, wif2, wib2, bi2, wh2, bh2, lengths, *, train, interpret):
         out_shape=out_shape,
         scratch_shapes=[
             pltpu.VMEM((b, 2 * h), jnp.float32),       # h carry
-            pltpu.VMEM((chunk, b, gw2), jnp.float32),  # xg fwd chunk
-            pltpu.VMEM((chunk, b, gw2), jnp.float32),  # xg bwd chunk
+            pltpu.VMEM((chunk, b, gw2), jnp.float32),  # gate-grouped xg
         ],
         interpret=interpret,
     )(x, x, wif2, wib2, bi2.reshape(1, gw2), wh2, bh2.reshape(1, gw2),
@@ -291,28 +308,36 @@ def _bwd_kernel(t_total, chunk, h, n_chunks,
 
     jax.lax.fori_loop(0, chunk, body, 0, unroll=True)
 
-    # per-chunk projection backward on the MXU
-    dxg2d = dxg_ref[:].reshape(chunk * b, gw2)
+    # per-chunk projection backward on the MXU: de-interleave the
+    # gate-grouped dxg into per-direction DENSE layouts (lane-aligned H
+    # slices), then half-width dots against the dense weights
+    dxg3 = dxg_ref[:]  # [chunk, b, 6h] gate-grouped
     xf2d = xf_ref[:].reshape(chunk * b, w_in)
     xr2d = xr_ref[:].reshape(chunk * b, w_in)
-    dxg_cast = dxg2d.astype(wif_ref.dtype)
-    dxf_ref[:] = jnp.dot(
-        dxg_cast, wif_ref[:].T, preferred_element_type=jnp.float32
-    ).reshape(chunk, b, w_in).astype(dxf_ref.dtype)
+    dxg_f = jnp.concatenate(
+        [dxg3[:, :, g * w2:g * w2 + h] for g in range(3)], axis=-1
+    ).reshape(chunk * b, 3 * h)
+    dxg_b = jnp.concatenate(
+        [dxg3[:, :, g * w2 + h:(g + 1) * w2] for g in range(3)], axis=-1)
     # the reversed view pairs x_rev row u with kernel step CH-1-u
     # (static slice-concat: Mosaic has no `rev` lowering)
-    dxg_flip = jnp.concatenate(
-        [dxg_ref[chunk - 1 - u] for u in range(chunk)], axis=0)
-    dxg_flip_cast = dxg_flip.astype(wib_ref.dtype)
+    dxg_b = jnp.concatenate(
+        [dxg_b[chunk - 1 - u] for u in range(chunk)], axis=0
+    ).reshape(chunk * b, 3 * h)
+    dxf_ref[:] = jnp.dot(
+        dxg_f.astype(wif_ref.dtype), wif_ref[:].T,
+        preferred_element_type=jnp.float32
+    ).reshape(chunk, b, w_in).astype(dxf_ref.dtype)
     dxb_ref[:] = jnp.dot(
-        dxg_flip_cast, wib_ref[:].T, preferred_element_type=jnp.float32
+        dxg_b.astype(wib_ref.dtype), wib_ref[:].T,
+        preferred_element_type=jnp.float32
     ).reshape(chunk, b, w_in).astype(dxb_ref.dtype)
     dwif_ref[:] += jnp.dot(
-        xf2d.T, dxg2d.astype(xf2d.dtype), preferred_element_type=jnp.float32)
+        xf2d.T, dxg_f.astype(xf2d.dtype), preferred_element_type=jnp.float32)
     dwib_ref[:] += jnp.dot(
-        xr2d.T, dxg_flip.astype(xr2d.dtype),
-        preferred_element_type=jnp.float32)
-    dbi2_ref[:] += jnp.sum(dxg2d, axis=0, keepdims=True)
+        xr2d.T, dxg_b.astype(xr2d.dtype), preferred_element_type=jnp.float32)
+    dbi2_ref[:] += jnp.sum(
+        dxg3.reshape(chunk * b, gw2), axis=0, keepdims=True)
 
 
 def _bwd_call(x, res, hp2, dyf, dyb, wif2, wib2, wh2, lengths, *, interpret):
@@ -334,9 +359,9 @@ def _bwd_call(x, res, hp2, dyf, dyb, wif2, wib2, wh2, lengths, *, interpret):
             pl.BlockSpec((chunk, b, 2 * h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, h), fwdm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_in, gw2), lambda i: (0, 0),
+            pl.BlockSpec((w_in, 3 * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_in, gw2), lambda i: (0, 0),
+            pl.BlockSpec((w_in, 3 * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * h, gw2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -345,9 +370,9 @@ def _bwd_call(x, res, hp2, dyf, dyb, wif2, wib2, wh2, lengths, *, interpret):
         out_specs=[
             pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_in, gw2), lambda i: (0, 0),
+            pl.BlockSpec((w_in, 3 * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_in, gw2), lambda i: (0, 0),
+            pl.BlockSpec((w_in, 3 * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gw2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * h, gw2), lambda i: (0, 0),
@@ -357,8 +382,8 @@ def _bwd_call(x, res, hp2, dyf, dyb, wif2, wib2, wh2, lengths, *, interpret):
         out_shape=[
             jax.ShapeDtypeStruct((t, b, w_in), x.dtype),   # dxf
             jax.ShapeDtypeStruct((t, b, w_in), x.dtype),   # dxb (orig order)
-            jax.ShapeDtypeStruct((w_in, gw2), jnp.float32),
-            jax.ShapeDtypeStruct((w_in, gw2), jnp.float32),
+            jax.ShapeDtypeStruct((w_in, 3 * h), jnp.float32),
+            jax.ShapeDtypeStruct((w_in, 3 * h), jnp.float32),
             jax.ShapeDtypeStruct((1, gw2), jnp.float32),
             jax.ShapeDtypeStruct((2 * h, gw2), jnp.float32),
             jax.ShapeDtypeStruct((1, gw2), jnp.float32),
@@ -379,12 +404,12 @@ def _bwd_call(x, res, hp2, dyf, dyb, wif2, wib2, wh2, lengths, *, interpret):
 def gru_bidir_fused(x, wif2, wib2, bi2, wh2, bh2, lengths, interpret=False):
     """One bidirectional GRU layer over ``x [T, B, W_in]`` (time-major).
 
-    Weights are in the pre-scattered/packed layouts of ``ops.rnn``:
-    ``wif2/wib2 [W_in, 6H]`` (``_pack_dir_cols``), ``wh2 [2H, 6H]``
-    (``_pack_gate_grouped``), ``bi2/bh2 [6H]`` (``_pack_gate_grouped_vec``).
-    Returns ``(ys_f [T, B, H], ys_b [T, B, H])`` BOTH in original time
-    order, unmasked (caller masks).  ``lengths [B]`` drives the backward
-    chain's carry freeze.
+    Input weights are DENSE per direction — ``wif2/wib2 [W_in, 3H]``, the
+    torch ``weight_ih`` layout, no packing; the gate-grouped merge happens
+    in-kernel.  ``wh2 [2H, 6H]`` (``_pack_gate_grouped``), ``bi2/bh2 [6H]``
+    (``_pack_gate_grouped_vec``).  Returns ``(ys_f [T, B, H], ys_b
+    [T, B, H])`` BOTH in original time order, unmasked (caller masks).
+    ``lengths [B]`` drives the backward chain's carry freeze.
     """
     ysf, ysb = _fwd_call(
         x, wif2, wib2, bi2, wh2, bh2, lengths, train=False,
@@ -449,13 +474,15 @@ def _pick_chunk_lstm(t: int, b: int, h: int, w_in: int, dtype) -> int | None:
             + 2 * chunk * b * h * sz        # dyf + dyb
             + 2 * chunk * b * w_in * sz     # dxf + dxb
         ) * 2
+        g4 = 4 * h
         scratch = (
-            2 * chunk * b * gw2 * 4
+            chunk * b * gw2 * 4
+            + 3 * chunk * b * g4 * 4        # dense-dot + flip temporaries
             + b * w2 * 4 * 4                # h, c / dh, dc carries
         )
         weights = (
-            2 * w_in * gw2 * sz + w2 * gw2 * sz + gw2 * 4
-            + 2 * w_in * gw2 * 4 + w2 * gw2 * 4
+            2 * w_in * g4 * sz + w2 * gw2 * sz + gw2 * 4
+            + 2 * w_in * g4 * 4 + w2 * gw2 * 4
         )
         if max(streams_fwd, streams_bwd) + scratch + weights <= _VMEM_BUDGET:
             return chunk
@@ -463,20 +490,20 @@ def _pick_chunk_lstm(t: int, b: int, h: int, w_in: int, dtype) -> int | None:
 
 
 def lstm_supported(t: int, b: int, h: int, w_in: int, dtype) -> bool:
-    return (
-        b % 8 == 0
-        and h % 128 == 0
-        and _pick_chunk_lstm(t, b, h, w_in, dtype) is not None
-    )
+    if b % 8 or h % 128:
+        return False
+    pick = (_pick_chunk_split(t, b, h, w_in, dtype, 4, True)
+            if SPLIT else _pick_chunk_lstm(t, b, h, w_in, dtype))
+    return pick is not None
 
 
 def _lstm_fwd_kernel(t_total, chunk, h, train,
                      xf_ref, xr_ref, wif_ref, wib_ref, bi2_ref, wh2_ref,
                      len_ref, ysf_ref, ysb_ref, cs_ref, *rest):
     if train:
-        res_ref, h_ref, c_ref, xgf_ref, xgb_ref = rest
+        res_ref, h_ref, c_ref, xg2_ref = rest
     else:
-        h_ref, c_ref, xgf_ref, xgb_ref = rest
+        h_ref, c_ref, xg2_ref = rest
         res_ref = None
     i = pl.program_id(0)
 
@@ -487,23 +514,33 @@ def _lstm_fwd_kernel(t_total, chunk, h, train,
 
     b = xf_ref.shape[1]
     w_in = xf_ref.shape[2]
-    gw2 = 8 * h
+    g4 = 4 * h
     w2 = 2 * h
 
+    # dense per-direction projections + once-per-chunk gate-grouped merge
+    # (see the GRU forward kernel note)
     xf2d = xf_ref[:].reshape(chunk * b, w_in)
     xr2d = xr_ref[:].reshape(chunk * b, w_in)
-    xgf_ref[:] = jnp.dot(
+    xgf = jnp.dot(
         xf2d, wif_ref[:], preferred_element_type=jnp.float32
-    ).reshape(chunk, b, gw2)
-    xgb_ref[:] = jnp.dot(
+    ).reshape(chunk, b, g4)
+    xgb = jnp.dot(
         xr2d, wib_ref[:], preferred_element_type=jnp.float32
-    ).reshape(chunk, b, gw2)
+    ).reshape(chunk, b, g4)
+    xgb = jnp.concatenate(
+        [xgb[chunk - 1 - u] for u in range(chunk)], axis=0
+    ).reshape(chunk, b, g4)
+    xg2_ref[:] = jnp.concatenate(
+        [p for g in range(4)
+         for p in (xgf[:, :, g * h:(g + 1) * h],
+                   xgb[:, :, g * h:(g + 1) * h])],
+        axis=-1)
 
     lengths = len_ref[:]  # [B, 1]
 
     def body(t, _):
         s = i * chunk + t
-        g_x = xgf_ref[t] + xgb_ref[chunk - 1 - t] + bi2_ref[0]
+        g_x = xg2_ref[t] + bi2_ref[0]
         h2 = h_ref[:]
         c2 = c_ref[:]
         gates = g_x + jnp.dot(
@@ -558,8 +595,7 @@ def _lstm_fwd_call(x, wif2, wib2, bi2, wh2, lengths, *, train, interpret):
     scratch = [
         pltpu.VMEM((b, 2 * h), jnp.float32),
         pltpu.VMEM((b, 2 * h), jnp.float32),
-        pltpu.VMEM((chunk, b, gw2), jnp.float32),
-        pltpu.VMEM((chunk, b, gw2), jnp.float32),
+        pltpu.VMEM((chunk, b, gw2), jnp.float32),  # gate-grouped xg
     ]
     if train:
         out_shape.append(jax.ShapeDtypeStruct((t, b, 10 * h), x.dtype))
@@ -574,9 +610,9 @@ def _lstm_fwd_call(x, wif2, wib2, bi2, wh2, lengths, *, train, interpret):
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, w_in), lambda i, n=n: (n - 1 - i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_in, gw2), lambda i: (0, 0),
+            pl.BlockSpec((w_in, 4 * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_in, gw2), lambda i: (0, 0),
+            pl.BlockSpec((w_in, 4 * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gw2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * h, gw2), lambda i: (0, 0),
@@ -662,25 +698,33 @@ def _lstm_bwd_kernel(t_total, chunk, h, n_chunks,
 
     jax.lax.fori_loop(0, chunk, body, 0, unroll=True)
 
-    dxg2d = dxg_ref[:].reshape(chunk * b, gw2)
+    # de-interleave gate-grouped dxg into per-direction dense layouts,
+    # then half-width dots (see the GRU backward kernel note)
+    dxg3 = dxg_ref[:]  # [chunk, b, 8h] gate-grouped
     xf2d = xf_ref[:].reshape(chunk * b, w_in)
     xr2d = xr_ref[:].reshape(chunk * b, w_in)
+    dxg_f = jnp.concatenate(
+        [dxg3[:, :, g * w2:g * w2 + h] for g in range(4)], axis=-1
+    ).reshape(chunk * b, 4 * h)
+    dxg_b = jnp.concatenate(
+        [dxg3[:, :, g * w2 + h:(g + 1) * w2] for g in range(4)], axis=-1)
+    dxg_b = jnp.concatenate(
+        [dxg_b[chunk - 1 - u] for u in range(chunk)], axis=0
+    ).reshape(chunk * b, 4 * h)
     dxf_ref[:] = jnp.dot(
-        dxg2d.astype(wif_ref.dtype), wif_ref[:].T,
+        dxg_f.astype(wif_ref.dtype), wif_ref[:].T,
         preferred_element_type=jnp.float32
     ).reshape(chunk, b, w_in).astype(dxf_ref.dtype)
-    dxg_flip = jnp.concatenate(
-        [dxg_ref[chunk - 1 - u] for u in range(chunk)], axis=0)
     dxb_ref[:] = jnp.dot(
-        dxg_flip.astype(wib_ref.dtype), wib_ref[:].T,
+        dxg_b.astype(wib_ref.dtype), wib_ref[:].T,
         preferred_element_type=jnp.float32
     ).reshape(chunk, b, w_in).astype(dxb_ref.dtype)
     dwif_ref[:] += jnp.dot(
-        xf2d.T, dxg2d.astype(xf2d.dtype), preferred_element_type=jnp.float32)
+        xf2d.T, dxg_f.astype(xf2d.dtype), preferred_element_type=jnp.float32)
     dwib_ref[:] += jnp.dot(
-        xr2d.T, dxg_flip.astype(xr2d.dtype),
-        preferred_element_type=jnp.float32)
-    dbi2_ref[:] += jnp.sum(dxg2d, axis=0, keepdims=True)
+        xr2d.T, dxg_b.astype(xr2d.dtype), preferred_element_type=jnp.float32)
+    dbi2_ref[:] += jnp.sum(
+        dxg3.reshape(chunk * b, gw2), axis=0, keepdims=True)
 
 
 def _lstm_bwd_call(x, res, hp2, cp2, dyf, dyb, wif2, wib2, wh2, lengths, *,
@@ -704,9 +748,9 @@ def _lstm_bwd_call(x, res, hp2, cp2, dyf, dyb, wif2, wib2, wh2, lengths, *,
             pl.BlockSpec((chunk, b, 2 * h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, h), fwdm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_in, gw2), lambda i: (0, 0),
+            pl.BlockSpec((w_in, 4 * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_in, gw2), lambda i: (0, 0),
+            pl.BlockSpec((w_in, 4 * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * h, gw2), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -715,9 +759,9 @@ def _lstm_bwd_call(x, res, hp2, cp2, dyf, dyb, wif2, wib2, wh2, lengths, *,
         out_specs=[
             pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_in, gw2), lambda i: (0, 0),
+            pl.BlockSpec((w_in, 4 * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((w_in, gw2), lambda i: (0, 0),
+            pl.BlockSpec((w_in, 4 * h), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, gw2), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((2 * h, gw2), lambda i: (0, 0),
@@ -726,8 +770,8 @@ def _lstm_bwd_call(x, res, hp2, cp2, dyf, dyb, wif2, wib2, wh2, lengths, *,
         out_shape=[
             jax.ShapeDtypeStruct((t, b, w_in), x.dtype),
             jax.ShapeDtypeStruct((t, b, w_in), x.dtype),
-            jax.ShapeDtypeStruct((w_in, gw2), jnp.float32),
-            jax.ShapeDtypeStruct((w_in, gw2), jnp.float32),
+            jax.ShapeDtypeStruct((w_in, 4 * h), jnp.float32),
+            jax.ShapeDtypeStruct((w_in, 4 * h), jnp.float32),
             jax.ShapeDtypeStruct((1, gw2), jnp.float32),
             jax.ShapeDtypeStruct((2 * h, gw2), jnp.float32),
         ],
@@ -745,10 +789,11 @@ def _lstm_bwd_call(x, res, hp2, cp2, dyf, dyb, wif2, wib2, wh2, lengths, *,
 def lstm_bidir_fused(x, wif2, wib2, bi2, wh2, lengths, interpret=False):
     """One bidirectional LSTM layer over ``x [T, B, W_in]`` (time-major).
 
-    Same contract as :func:`gru_bidir_fused` with the LSTM packing: both
-    biases pre-folded into ``bi2`` (``torch.nn.LSTM`` adds bi+bh to every
-    gate), no separate hidden bias.  Returns ``(ys_f, ys_b)`` in original
-    time order, unmasked.
+    Same contract as :func:`gru_bidir_fused` (dense ``wif2/wib2
+    [W_in, 4H]``) with the LSTM packing: both biases pre-folded into
+    ``bi2`` (``torch.nn.LSTM`` adds bi+bh to every gate), no separate
+    hidden bias.  Returns ``(ys_f, ys_b)`` in original time order,
+    unmasked.
     """
     ysf, ysb, _ = _lstm_fwd_call(
         x, wif2, wib2, bi2, wh2, lengths, train=False, interpret=interpret)
@@ -776,3 +821,778 @@ def _lstm_vjp_bwd(interpret, resids, dy):
 
 
 lstm_bidir_fused.defvjp(_lstm_vjp_fwd, _lstm_vjp_bwd)
+
+
+# ====================================================== direction-split step
+# Variant of the fused layer kernels with the two direction chains fully
+# DECOUPLED in the step body.  The merged body multiplies the [B, 2H]
+# direction-concat carry against a block-diagonal [2H, g*2H] hidden weight:
+# half the contraction rows are structural zeros for every output column,
+# i.e. 2x the MACs of the real recurrence on the serial critical path (the
+# same waste the dense input projections removed off-path).  Here each
+# direction runs its own dense [B, H] @ [H, gH] hidden matmul (torch
+# ``weight_hh`` layout, contraction H instead of 2H) and its own [B, H]
+# gate math; the two chains share no value, so the scheduler can overlap
+# direction-b's MXU pass with direction-f's VPU gates (and vice versa)
+# inside the unrolled step loop.  Bonus: no gate-grouped layout exists
+# anywhere — weights, biases, residuals, and gate grads all stay in torch
+# per-direction layouts, so the backward needs no de-interleave and the
+# glue needs no _pack_gate_grouped scatter (or its VJP transpose), and the
+# resident weight/accumulator VMEM drops ~4x (no zero blocks).
+# PVA_RNN_SPLIT selects the variant at trace time (A/B:
+# tools/ab_rnn_split.py; docs/PERF_NOTES.md round-4 split-step entry).
+
+import os as _os
+
+SPLIT = _os.environ.get("PVA_RNN_SPLIT", "0") == "1"
+
+
+def _pick_chunk_split(t, b, h, w_in, dtype, g, lstm):
+    """VMEM-budgeted chunk for the split kernels (g gates, g+1 residuals)."""
+    sz = _itemsize(dtype)
+    gh = g * h
+    r = g + 1  # residual planes per direction (gates + hg_n / tanh_c)
+    for chunk in (32, 16, 8, 4):
+        if t % chunk:
+            continue
+        streams_fwd = (
+            2 * chunk * b * w_in * sz       # xf + xr views
+            + 2 * chunk * b * h * sz        # ysf + ysb
+            + 2 * chunk * b * r * h * sz    # resf + resb
+            + (2 * chunk * b * h * sz if lstm else 0)  # csf + csb
+        ) * 2
+        streams_bwd = (
+            2 * chunk * b * w_in * sz       # xf + xr views
+            + 2 * chunk * b * r * h * sz    # resf + resb
+            + 2 * chunk * b * h * sz        # hpf + hpb
+            + (2 * chunk * b * h * sz if lstm else 0)  # cpf + cpb
+            + 2 * chunk * b * h * sz        # dyf + dyb
+            + 2 * chunk * b * w_in * sz     # dxf + dxb
+        ) * 2
+        scratch = (
+            2 * chunk * b * gh * 4          # xgf + xgb / dxgf + dxgb
+            + chunk * b * gh * 4            # flip temporary
+            + (4 if lstm else 2) * b * h * 4 * 2  # carries (fwd / bwd)
+        )
+        weights = (
+            (2 * w_in * gh + 2 * h * gh) * sz      # wi + wh, both dirs
+            + (2 * w_in * gh + 2 * h * gh) * 4     # bwd f32 accumulators
+            + 8 * gh * 4                           # biases + bias grads
+        )
+        if max(streams_fwd, streams_bwd) + scratch + weights <= _VMEM_BUDGET:
+            return chunk
+    return None
+
+
+# ------------------------------------------------------- GRU, split forward
+
+
+def _fwd_kernel_split(t_total, chunk, h, train,
+                      xf_ref, xr_ref, wif_ref, wib_ref, bif_ref, bib_ref,
+                      whf_ref, whb_ref, bhf_ref, bhb_ref, len_ref,
+                      ysf_ref, ysb_ref, *rest):
+    if train:
+        resf_ref, resb_ref, hf_ref, hb_ref, xgf_ref, xgb_ref = rest
+    else:
+        hf_ref, hb_ref, xgf_ref, xgb_ref = rest
+        resf_ref = resb_ref = None
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        hf_ref[:] = jnp.zeros_like(hf_ref)
+        hb_ref[:] = jnp.zeros_like(hb_ref)
+
+    b = xf_ref.shape[1]
+    w_in = xf_ref.shape[2]
+    g3 = 3 * h
+
+    # dense per-direction projections (torch wi layout), off the chain
+    xf2d = xf_ref[:].reshape(chunk * b, w_in)
+    xr2d = xr_ref[:].reshape(chunk * b, w_in)
+    xgf_ref[:] = jnp.dot(
+        xf2d, wif_ref[:], preferred_element_type=jnp.float32
+    ).reshape(chunk, b, g3)
+    xgb = jnp.dot(
+        xr2d, wib_ref[:], preferred_element_type=jnp.float32
+    ).reshape(chunk, b, g3)
+    # flip the reversed view's rows so xgb[t] is bwd step t's gates
+    # (static slice-concat: Mosaic has no `rev` lowering)
+    xgb_ref[:] = jnp.concatenate(
+        [xgb[chunk - 1 - u] for u in range(chunk)], axis=0
+    ).reshape(chunk, b, g3)
+
+    lengths = len_ref[:]  # [B, 1] int32
+
+    def body(t, _):
+        s = i * chunk + t
+        gx_f = xgf_ref[t] + bif_ref[0]
+        gx_b = xgb_ref[t] + bib_ref[0]
+        hf = hf_ref[:]
+        hb = hb_ref[:]
+        # two independent dense hidden matmuls (contraction H, not 2H)
+        hg_f = jnp.dot(
+            hf.astype(whf_ref.dtype), whf_ref[:],
+            preferred_element_type=jnp.float32) + bhf_ref[0]
+        hg_b = jnp.dot(
+            hb.astype(whb_ref.dtype), whb_ref[:],
+            preferred_element_type=jnp.float32) + bhb_ref[0]
+        r_f = jax.nn.sigmoid(gx_f[:, :h] + hg_f[:, :h])
+        r_b = jax.nn.sigmoid(gx_b[:, :h] + hg_b[:, :h])
+        z_f = jax.nn.sigmoid(gx_f[:, h:2 * h] + hg_f[:, h:2 * h])
+        z_b = jax.nn.sigmoid(gx_b[:, h:2 * h] + hg_b[:, h:2 * h])
+        hgn_f = hg_f[:, 2 * h:]
+        hgn_b = hg_b[:, 2 * h:]
+        n_f = jnp.tanh(gx_f[:, 2 * h:] + r_f * hgn_f)
+        n_b = jnp.tanh(gx_b[:, 2 * h:] + r_b * hgn_b)
+        hn_f = (1.0 - z_f) * n_f + z_f * hf
+        # freeze the BACKWARD chain's carry on flipped-prefix padding
+        valid_b = s >= t_total - lengths  # [B, 1]
+        hn_b = jnp.where(valid_b, (1.0 - z_b) * n_b + z_b * hb, hb)
+        hf_ref[:] = hn_f
+        hb_ref[:] = hn_b
+        ysf_ref[t] = hn_f.astype(ysf_ref.dtype)
+        ysb_ref[chunk - 1 - t] = hn_b.astype(ysb_ref.dtype)
+        if resf_ref is not None:
+            resf_ref[t] = jnp.concatenate(
+                [r_f, z_f, n_f, hgn_f], axis=-1).astype(resf_ref.dtype)
+            resb_ref[t] = jnp.concatenate(
+                [r_b, z_b, n_b, hgn_b], axis=-1).astype(resb_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0, unroll=True)
+
+
+def _fwd_call_split(x, wif, wib, bif, bib, whf, whb, bhf, bhb, lengths, *,
+                    train, interpret):
+    t, b, w_in = x.shape
+    h = whf.shape[0]
+    chunk = _pick_chunk_split(t, b, h, w_in, x.dtype, 3, False)
+    n = t // chunk
+    g3 = 3 * h
+    kern = functools.partial(_fwd_kernel_split, t, chunk, h, train)
+    fwdm = lambda i: (i, 0, 0)  # noqa: E731
+    rev = lambda i, n=n: (n - 1 - i, 0, 0)  # noqa: E731
+    w0 = lambda i: (0, 0)  # noqa: E731
+    out_shape = [
+        jax.ShapeDtypeStruct((t, b, h), x.dtype),  # ysf (original order)
+        jax.ShapeDtypeStruct((t, b, h), x.dtype),  # ysb (original order)
+    ]
+    out_specs = [
+        pl.BlockSpec((chunk, b, h), fwdm, memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
+    ]
+    if train:  # residuals per direction, kernel order
+        out_shape += [jax.ShapeDtypeStruct((t, b, 4 * h), x.dtype)] * 2
+        out_specs += [
+            pl.BlockSpec((chunk, b, 4 * h), fwdm, memory_space=pltpu.VMEM)
+        ] * 2
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), w0, memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),           # h carry, fwd dir
+            pltpu.VMEM((b, h), jnp.float32),           # h carry, bwd dir
+            pltpu.VMEM((chunk, b, g3), jnp.float32),   # xg fwd dir
+            pltpu.VMEM((chunk, b, g3), jnp.float32),   # xg bwd dir (flipped)
+        ],
+        interpret=interpret,
+    )(x, x, wif, wib, bif.reshape(1, g3), bib.reshape(1, g3), whf, whb,
+      bhf.reshape(1, g3), bhb.reshape(1, g3),
+      lengths.astype(jnp.int32).reshape(b, 1))
+
+
+# ------------------------------------------------------ GRU, split backward
+
+
+def _bwd_kernel_split(t_total, chunk, h, n_chunks,
+                      xf_ref, xr_ref, resf_ref, resb_ref, hpf_ref, hpb_ref,
+                      dyf_ref, dyb_ref, wif_ref, wib_ref, whf_ref, whb_ref,
+                      len_ref,
+                      dxf_ref, dxb_ref, dwif_ref, dwib_ref, dbif_ref,
+                      dbib_ref, dwhf_ref, dwhb_ref, dbhf_ref, dbhb_ref,
+                      dhf_ref, dhb_ref, dxgf_ref, dxgb_ref):
+    i = pl.program_id(0)
+    c = n_chunks - 1 - i  # kernel chunk index (reverse walk)
+    b = xf_ref.shape[1]
+    w_in = xf_ref.shape[2]
+    g3 = 3 * h
+
+    @pl.when(i == 0)
+    def _():
+        dhf_ref[:] = jnp.zeros_like(dhf_ref)
+        dhb_ref[:] = jnp.zeros_like(dhb_ref)
+        dwif_ref[:] = jnp.zeros_like(dwif_ref)
+        dwib_ref[:] = jnp.zeros_like(dwib_ref)
+        dbif_ref[:] = jnp.zeros_like(dbif_ref)
+        dbib_ref[:] = jnp.zeros_like(dbib_ref)
+        dwhf_ref[:] = jnp.zeros_like(dwhf_ref)
+        dwhb_ref[:] = jnp.zeros_like(dwhb_ref)
+        dbhf_ref[:] = jnp.zeros_like(dbhf_ref)
+        dbhb_ref[:] = jnp.zeros_like(dbhb_ref)
+
+    lengths = len_ref[:]  # [B, 1] int32
+
+    def body(j, _):
+        t = chunk - 1 - j  # reverse within chunk
+        s = c * chunk + t
+        resf = resf_ref[t]
+        resb = resb_ref[t]
+        r_f, z_f = resf[:, :h], resf[:, h:2 * h]
+        n_f, hgn_f = resf[:, 2 * h:3 * h], resf[:, 3 * h:]
+        r_b, z_b = resb[:, :h], resb[:, h:2 * h]
+        n_b, hgn_b = resb[:, 2 * h:3 * h], resb[:, 3 * h:]
+        dh_f = dyf_ref[t].astype(jnp.float32) + dhf_ref[:]
+        dh_b = dyb_ref[chunk - 1 - t].astype(jnp.float32) + dhb_ref[:]
+        dz_f = dh_f * (hpf_ref[t] - n_f)
+        dz_b = dh_b * (hpb_ref[t] - n_b)
+        dpre_n_f = dh_f * (1.0 - z_f) * (1.0 - n_f * n_f)
+        dpre_n_b = dh_b * (1.0 - z_b) * (1.0 - n_b * n_b)
+        dpre_r_f = dpre_n_f * hgn_f * r_f * (1.0 - r_f)
+        dpre_r_b = dpre_n_b * hgn_b * r_b * (1.0 - r_b)
+        dpre_z_f = dz_f * z_f * (1.0 - z_f)
+        dpre_z_b = dz_b * z_b * (1.0 - z_b)
+        # freeze VJP: padded backward-chain steps were identity — gate grads
+        # vanish and dh passes through
+        valid_b = s >= t_total - lengths  # [B, 1]
+        mask_b = valid_b.astype(jnp.float32)
+        dpre_n_b = dpre_n_b * mask_b
+        dpre_r_b = dpre_r_b * mask_b
+        dpre_z_b = dpre_z_b * mask_b
+        dxgf_ref[t] = jnp.concatenate(
+            [dpre_r_f, dpre_z_f, dpre_n_f], axis=-1)  # torch gate order
+        dxgb_ref[t] = jnp.concatenate(
+            [dpre_r_b, dpre_z_b, dpre_n_b], axis=-1)
+        dhg_f = jnp.concatenate(
+            [dpre_r_f, dpre_z_f, dpre_n_f * r_f], axis=-1)
+        dhg_b = jnp.concatenate(
+            [dpre_r_b, dpre_z_b, dpre_n_b * r_b], axis=-1)
+        dhg_f_c = dhg_f.astype(whf_ref.dtype)
+        dhg_b_c = dhg_b.astype(whb_ref.dtype)
+        # two independent dense transposed matmuls (contraction 3H, not 6H)
+        dhf_ref[:] = dh_f * z_f + jnp.dot(
+            dhg_f_c, whf_ref[:].T, preferred_element_type=jnp.float32)
+        dh_b_new = dh_b * z_b + jnp.dot(
+            dhg_b_c, whb_ref[:].T, preferred_element_type=jnp.float32)
+        dhb_ref[:] = jnp.where(valid_b, dh_b_new, dh_b)
+        dwhf_ref[:] += jnp.dot(
+            hpf_ref[t].T.astype(whf_ref.dtype), dhg_f_c,
+            preferred_element_type=jnp.float32)
+        dwhb_ref[:] += jnp.dot(
+            hpb_ref[t].T.astype(whb_ref.dtype), dhg_b_c,
+            preferred_element_type=jnp.float32)
+        dbhf_ref[:] += jnp.sum(dhg_f, axis=0, keepdims=True)
+        dbhb_ref[:] += jnp.sum(dhg_b, axis=0, keepdims=True)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0, unroll=True)
+
+    # per-chunk projection backward: gate grads are ALREADY dense per
+    # direction — no de-interleave, just the flip pairing x_rev rows
+    xf2d = xf_ref[:].reshape(chunk * b, w_in)
+    xr2d = xr_ref[:].reshape(chunk * b, w_in)
+    dxg_f = dxgf_ref[:].reshape(chunk * b, g3)
+    dxg_b = jnp.concatenate(
+        [dxgb_ref[chunk - 1 - u] for u in range(chunk)], axis=0
+    ).reshape(chunk * b, g3)
+    dxf_ref[:] = jnp.dot(
+        dxg_f.astype(wif_ref.dtype), wif_ref[:].T,
+        preferred_element_type=jnp.float32
+    ).reshape(chunk, b, w_in).astype(dxf_ref.dtype)
+    dxb_ref[:] = jnp.dot(
+        dxg_b.astype(wib_ref.dtype), wib_ref[:].T,
+        preferred_element_type=jnp.float32
+    ).reshape(chunk, b, w_in).astype(dxb_ref.dtype)
+    dwif_ref[:] += jnp.dot(
+        xf2d.T, dxg_f.astype(xf2d.dtype), preferred_element_type=jnp.float32)
+    dwib_ref[:] += jnp.dot(
+        xr2d.T, dxg_b.astype(xr2d.dtype), preferred_element_type=jnp.float32)
+    dbif_ref[:] += jnp.sum(dxg_f, axis=0, keepdims=True)
+    dbib_ref[:] += jnp.sum(dxg_b, axis=0, keepdims=True)
+
+
+def _bwd_call_split(x, resf, resb, hpf, hpb, dyf, dyb, wif, wib, whf, whb,
+                    lengths, *, interpret):
+    t, b, w_in = x.shape
+    h = whf.shape[0]
+    chunk = _pick_chunk_split(t, b, h, w_in, x.dtype, 3, False)
+    n = t // chunk
+    g3 = 3 * h
+    kern = functools.partial(_bwd_kernel_split, t, chunk, h, n)
+    rev = lambda i, n=n: (n - 1 - i, 0, 0)  # noqa: E731
+    fwdm = lambda i: (i, 0, 0)  # noqa: E731
+    w0 = lambda i: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, 4 * h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, 4 * h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, h), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), w0, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g3), w0, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, w_in), x.dtype),   # dxf
+            jax.ShapeDtypeStruct((t, b, w_in), x.dtype),   # dxb (orig order)
+            jax.ShapeDtypeStruct((w_in, g3), jnp.float32),
+            jax.ShapeDtypeStruct((w_in, g3), jnp.float32),
+            jax.ShapeDtypeStruct((1, g3), jnp.float32),
+            jax.ShapeDtypeStruct((1, g3), jnp.float32),
+            jax.ShapeDtypeStruct((h, g3), jnp.float32),
+            jax.ShapeDtypeStruct((h, g3), jnp.float32),
+            jax.ShapeDtypeStruct((1, g3), jnp.float32),
+            jax.ShapeDtypeStruct((1, g3), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((chunk, b, g3), jnp.float32),
+            pltpu.VMEM((chunk, b, g3), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, x, resf, resb, hpf, hpb, dyf, dyb, wif, wib, whf, whb,
+      lengths.astype(jnp.int32).reshape(b, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
+def gru_bidir_fused_split(x, wif, wib, bif, bib, whf, whb, bhf, bhb,
+                          lengths, interpret=False):
+    """Direction-split variant of :func:`gru_bidir_fused`.
+
+    ALL weights are the raw torch per-direction layouts: ``wif/wib
+    [W_in, 3H]`` (``weight_ih``), ``whf/whb [H, 3H]`` (``weight_hh``),
+    ``bif/bib/bhf/bhb [3H]``.  Same output contract: ``(ys_f, ys_b)``
+    both ``[T, B, H]`` in original time order, unmasked.
+    """
+    ysf, ysb = _fwd_call_split(
+        x, wif, wib, bif, bib, whf, whb, bhf, bhb, lengths, train=False,
+        interpret=interpret)
+    return ysf, ysb
+
+
+def _vjp_fwd_split(x, wif, wib, bif, bib, whf, whb, bhf, bhb, lengths,
+                   interpret):
+    ysf, ysb, resf, resb = _fwd_call_split(
+        x, wif, wib, bif, bib, whf, whb, bhf, bhb, lengths, train=True,
+        interpret=interpret)
+    return (ysf, ysb), (x, wif, wib, whf, whb, lengths, ysf, ysb, resf, resb)
+
+
+def _vjp_bwd_split(interpret, resids, dy):
+    x, wif, wib, whf, whb, lengths, ysf, ysb, resf, resb = resids
+    dyf, dyb = dy
+    # previous hidden state per direction, kernel order (ysb is emitted in
+    # original order, so kernel order = global flip — a pure lax.rev)
+    hpf = jnp.concatenate([jnp.zeros_like(ysf[:1]), ysf[:-1]], axis=0)
+    ysb_k = jnp.flip(ysb, axis=0)
+    hpb = jnp.concatenate([jnp.zeros_like(ysb_k[:1]), ysb_k[:-1]], axis=0)
+    (dxf, dxb, dwif, dwib, dbif, dbib, dwhf, dwhb, dbhf,
+     dbhb) = _bwd_call_split(
+        x, resf, resb, hpf, hpb, dyf, dyb, wif, wib, whf, whb, lengths,
+        interpret=interpret)
+    dx = (dxf.astype(jnp.float32) + dxb.astype(jnp.float32)).astype(x.dtype)
+    return (dx, dwif.astype(wif.dtype), dwib.astype(wib.dtype),
+            dbif.reshape(-1), dbib.reshape(-1),
+            dwhf.astype(whf.dtype), dwhb.astype(whb.dtype),
+            dbhf.reshape(-1), dbhb.reshape(-1), None)
+
+
+gru_bidir_fused_split.defvjp(_vjp_fwd_split, _vjp_bwd_split)
+
+
+# ------------------------------------------------------ LSTM, split forward
+
+
+def _lstm_fwd_kernel_split(t_total, chunk, h, train,
+                           xf_ref, xr_ref, wif_ref, wib_ref, bif_ref,
+                           bib_ref, whf_ref, whb_ref, len_ref,
+                           ysf_ref, ysb_ref, csf_ref, csb_ref, *rest):
+    if train:
+        resf_ref, resb_ref, hf_ref, hb_ref, cf_ref, cb_ref, \
+            xgf_ref, xgb_ref = rest
+    else:
+        hf_ref, hb_ref, cf_ref, cb_ref, xgf_ref, xgb_ref = rest
+        resf_ref = resb_ref = None
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _():
+        hf_ref[:] = jnp.zeros_like(hf_ref)
+        hb_ref[:] = jnp.zeros_like(hb_ref)
+        cf_ref[:] = jnp.zeros_like(cf_ref)
+        cb_ref[:] = jnp.zeros_like(cb_ref)
+
+    b = xf_ref.shape[1]
+    w_in = xf_ref.shape[2]
+    g4 = 4 * h
+
+    xf2d = xf_ref[:].reshape(chunk * b, w_in)
+    xr2d = xr_ref[:].reshape(chunk * b, w_in)
+    xgf_ref[:] = jnp.dot(
+        xf2d, wif_ref[:], preferred_element_type=jnp.float32
+    ).reshape(chunk, b, g4)
+    xgb = jnp.dot(
+        xr2d, wib_ref[:], preferred_element_type=jnp.float32
+    ).reshape(chunk, b, g4)
+    xgb_ref[:] = jnp.concatenate(
+        [xgb[chunk - 1 - u] for u in range(chunk)], axis=0
+    ).reshape(chunk, b, g4)
+
+    lengths = len_ref[:]  # [B, 1]
+
+    def body(t, _):
+        s = i * chunk + t
+        gx_f = xgf_ref[t] + bif_ref[0]
+        gx_b = xgb_ref[t] + bib_ref[0]
+        hf = hf_ref[:]
+        hb = hb_ref[:]
+        cf = cf_ref[:]
+        cb = cb_ref[:]
+        gates_f = gx_f + jnp.dot(
+            hf.astype(whf_ref.dtype), whf_ref[:],
+            preferred_element_type=jnp.float32)
+        gates_b = gx_b + jnp.dot(
+            hb.astype(whb_ref.dtype), whb_ref[:],
+            preferred_element_type=jnp.float32)
+        ii_f = jax.nn.sigmoid(gates_f[:, :h])
+        ii_b = jax.nn.sigmoid(gates_b[:, :h])
+        f_f = jax.nn.sigmoid(gates_f[:, h:2 * h])
+        f_b = jax.nn.sigmoid(gates_b[:, h:2 * h])
+        g_f = jnp.tanh(gates_f[:, 2 * h:3 * h])
+        g_b = jnp.tanh(gates_b[:, 2 * h:3 * h])
+        o_f = jax.nn.sigmoid(gates_f[:, 3 * h:])
+        o_b = jax.nn.sigmoid(gates_b[:, 3 * h:])
+        cn_f = f_f * cf + ii_f * g_f
+        tc_f = jnp.tanh(cn_f)
+        hn_f = o_f * tc_f
+        valid_b = s >= t_total - lengths  # [B, 1]
+        cn_b_raw = f_b * cb + ii_b * g_b
+        tc_b = jnp.tanh(cn_b_raw)
+        cn_b = jnp.where(valid_b, cn_b_raw, cb)
+        hn_b = jnp.where(valid_b, o_b * tc_b, hb)
+        hf_ref[:] = hn_f
+        hb_ref[:] = hn_b
+        cf_ref[:] = cn_f
+        cb_ref[:] = cn_b
+        ysf_ref[t] = hn_f.astype(ysf_ref.dtype)
+        ysb_ref[chunk - 1 - t] = hn_b.astype(ysb_ref.dtype)
+        csf_ref[t] = cn_f.astype(csf_ref.dtype)  # kernel order (residual)
+        csb_ref[t] = cn_b.astype(csb_ref.dtype)
+        if resf_ref is not None:
+            resf_ref[t] = jnp.concatenate(
+                [ii_f, f_f, g_f, o_f, tc_f], axis=-1).astype(resf_ref.dtype)
+            resb_ref[t] = jnp.concatenate(
+                [ii_b, f_b, g_b, o_b, tc_b], axis=-1).astype(resb_ref.dtype)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0, unroll=True)
+
+
+def _lstm_fwd_call_split(x, wif, wib, bif2, bib2, whf, whb, lengths, *,
+                         train, interpret):
+    t, b, w_in = x.shape
+    h = whf.shape[0]
+    chunk = _pick_chunk_split(t, b, h, w_in, x.dtype, 4, True)
+    n = t // chunk
+    g4 = 4 * h
+    kern = functools.partial(_lstm_fwd_kernel_split, t, chunk, h, train)
+    fwdm = lambda i: (i, 0, 0)  # noqa: E731
+    rev = lambda i, n=n: (n - 1 - i, 0, 0)  # noqa: E731
+    w0 = lambda i: (0, 0)  # noqa: E731
+    out_shape = [
+        jax.ShapeDtypeStruct((t, b, h), x.dtype),  # ysf (orig order)
+        jax.ShapeDtypeStruct((t, b, h), x.dtype),  # ysb (orig order)
+        jax.ShapeDtypeStruct((t, b, h), x.dtype),  # csf (kernel order)
+        jax.ShapeDtypeStruct((t, b, h), x.dtype),  # csb (kernel order)
+    ]
+    out_specs = [
+        pl.BlockSpec((chunk, b, h), fwdm, memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, b, h), fwdm, memory_space=pltpu.VMEM),
+        pl.BlockSpec((chunk, b, h), fwdm, memory_space=pltpu.VMEM),
+    ]
+    if train:
+        out_shape += [jax.ShapeDtypeStruct((t, b, 5 * h), x.dtype)] * 2
+        out_specs += [
+            pl.BlockSpec((chunk, b, 5 * h), fwdm, memory_space=pltpu.VMEM)
+        ] * 2
+    scratch = [
+        pltpu.VMEM((b, h), jnp.float32),          # hf carry
+        pltpu.VMEM((b, h), jnp.float32),          # hb carry
+        pltpu.VMEM((b, h), jnp.float32),          # cf carry
+        pltpu.VMEM((b, h), jnp.float32),          # cb carry
+        pltpu.VMEM((chunk, b, g4), jnp.float32),  # xg fwd dir
+        pltpu.VMEM((chunk, b, g4), jnp.float32),  # xg bwd dir (flipped)
+    ]
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), w0, memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(x, x, wif, wib, bif2.reshape(1, g4), bib2.reshape(1, g4), whf, whb,
+      lengths.astype(jnp.int32).reshape(b, 1))
+
+
+# ----------------------------------------------------- LSTM, split backward
+
+
+def _lstm_bwd_kernel_split(t_total, chunk, h, n_chunks,
+                           xf_ref, xr_ref, resf_ref, resb_ref, hpf_ref,
+                           hpb_ref, cpf_ref, cpb_ref, dyf_ref, dyb_ref,
+                           wif_ref, wib_ref, whf_ref, whb_ref, len_ref,
+                           dxf_ref, dxb_ref, dwif_ref, dwib_ref, dbif_ref,
+                           dbib_ref, dwhf_ref, dwhb_ref,
+                           dhf_ref, dhb_ref, dcf_ref, dcb_ref,
+                           dxgf_ref, dxgb_ref):
+    i = pl.program_id(0)
+    c_idx = n_chunks - 1 - i
+    b = xf_ref.shape[1]
+    w_in = xf_ref.shape[2]
+    g4 = 4 * h
+
+    @pl.when(i == 0)
+    def _():
+        dhf_ref[:] = jnp.zeros_like(dhf_ref)
+        dhb_ref[:] = jnp.zeros_like(dhb_ref)
+        dcf_ref[:] = jnp.zeros_like(dcf_ref)
+        dcb_ref[:] = jnp.zeros_like(dcb_ref)
+        dwif_ref[:] = jnp.zeros_like(dwif_ref)
+        dwib_ref[:] = jnp.zeros_like(dwib_ref)
+        dbif_ref[:] = jnp.zeros_like(dbif_ref)
+        dbib_ref[:] = jnp.zeros_like(dbib_ref)
+        dwhf_ref[:] = jnp.zeros_like(dwhf_ref)
+        dwhb_ref[:] = jnp.zeros_like(dwhb_ref)
+
+    lengths = len_ref[:]
+
+    def body(j, _):
+        t = chunk - 1 - j
+        s = c_idx * chunk + t
+        resf = resf_ref[t]
+        resb = resb_ref[t]
+        ii_f, f_f = resf[:, :h], resf[:, h:2 * h]
+        g_f, o_f, tc_f = (resf[:, 2 * h:3 * h], resf[:, 3 * h:4 * h],
+                          resf[:, 4 * h:])
+        ii_b, f_b = resb[:, :h], resb[:, h:2 * h]
+        g_b, o_b, tc_b = (resb[:, 2 * h:3 * h], resb[:, 3 * h:4 * h],
+                          resb[:, 4 * h:])
+        dh_f = dyf_ref[t].astype(jnp.float32) + dhf_ref[:]
+        dh_b = dyb_ref[chunk - 1 - t].astype(jnp.float32) + dhb_ref[:]
+        do_f = dh_f * tc_f
+        do_b = dh_b * tc_b
+        dc_f = dh_f * o_f * (1.0 - tc_f * tc_f) + dcf_ref[:]
+        dc_b = dh_b * o_b * (1.0 - tc_b * tc_b) + dcb_ref[:]
+        dpre_i_f = dc_f * g_f * ii_f * (1.0 - ii_f)
+        dpre_i_b = dc_b * g_b * ii_b * (1.0 - ii_b)
+        dpre_f_f = dc_f * cpf_ref[t] * f_f * (1.0 - f_f)
+        dpre_f_b = dc_b * cpb_ref[t] * f_b * (1.0 - f_b)
+        dpre_g_f = dc_f * ii_f * (1.0 - g_f * g_f)
+        dpre_g_b = dc_b * ii_b * (1.0 - g_b * g_b)
+        dpre_o_f = do_f * o_f * (1.0 - o_f)
+        dpre_o_b = do_b * o_b * (1.0 - o_b)
+        valid_b = s >= t_total - lengths
+        mask_b = valid_b.astype(jnp.float32)
+        dgates_f = jnp.concatenate(
+            [dpre_i_f, dpre_f_f, dpre_g_f, dpre_o_f], axis=-1)
+        dgates_b = jnp.concatenate(
+            [dpre_i_b, dpre_f_b, dpre_g_b, dpre_o_b], axis=-1) * mask_b
+        dxgf_ref[t] = dgates_f
+        dxgb_ref[t] = dgates_b
+        dgates_f_c = dgates_f.astype(whf_ref.dtype)
+        dgates_b_c = dgates_b.astype(whb_ref.dtype)
+        dhf_ref[:] = jnp.dot(
+            dgates_f_c, whf_ref[:].T, preferred_element_type=jnp.float32)
+        dh_b_new = jnp.dot(
+            dgates_b_c, whb_ref[:].T, preferred_element_type=jnp.float32)
+        dcf_ref[:] = dc_f * f_f
+        # frozen steps are identity in BOTH h and c: pass dh/dc through
+        dhb_ref[:] = jnp.where(valid_b, dh_b_new, dh_b)
+        dcb_ref[:] = jnp.where(valid_b, dc_b * f_b, dc_b)
+        dwhf_ref[:] += jnp.dot(
+            hpf_ref[t].T.astype(whf_ref.dtype), dgates_f_c,
+            preferred_element_type=jnp.float32)
+        dwhb_ref[:] += jnp.dot(
+            hpb_ref[t].T.astype(whb_ref.dtype), dgates_b_c,
+            preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, chunk, body, 0, unroll=True)
+
+    xf2d = xf_ref[:].reshape(chunk * b, w_in)
+    xr2d = xr_ref[:].reshape(chunk * b, w_in)
+    dxg_f = dxgf_ref[:].reshape(chunk * b, g4)
+    dxg_b = jnp.concatenate(
+        [dxgb_ref[chunk - 1 - u] for u in range(chunk)], axis=0
+    ).reshape(chunk * b, g4)
+    dxf_ref[:] = jnp.dot(
+        dxg_f.astype(wif_ref.dtype), wif_ref[:].T,
+        preferred_element_type=jnp.float32
+    ).reshape(chunk, b, w_in).astype(dxf_ref.dtype)
+    dxb_ref[:] = jnp.dot(
+        dxg_b.astype(wib_ref.dtype), wib_ref[:].T,
+        preferred_element_type=jnp.float32
+    ).reshape(chunk, b, w_in).astype(dxb_ref.dtype)
+    dwif_ref[:] += jnp.dot(
+        xf2d.T, dxg_f.astype(xf2d.dtype), preferred_element_type=jnp.float32)
+    dwib_ref[:] += jnp.dot(
+        xr2d.T, dxg_b.astype(xr2d.dtype), preferred_element_type=jnp.float32)
+    dbif_ref[:] += jnp.sum(dxg_f, axis=0, keepdims=True)
+    dbib_ref[:] += jnp.sum(dxg_b, axis=0, keepdims=True)
+
+
+def _lstm_bwd_call_split(x, resf, resb, hpf, hpb, cpf, cpb, dyf, dyb,
+                         wif, wib, whf, whb, lengths, *, interpret):
+    t, b, w_in = x.shape
+    h = whf.shape[0]
+    chunk = _pick_chunk_split(t, b, h, w_in, x.dtype, 4, True)
+    n = t // chunk
+    g4 = 4 * h
+    kern = functools.partial(_lstm_bwd_kernel_split, t, chunk, h, n)
+    rev = lambda i, n=n: (n - 1 - i, 0, 0)  # noqa: E731
+    fwdm = lambda i: (i, 0, 0)  # noqa: E731
+    w0 = lambda i: (0, 0)  # noqa: E731
+    return pl.pallas_call(
+        kern,
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, 5 * h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, 5 * h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, h), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((b, 1), w0, memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((w_in, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), w0, memory_space=pltpu.VMEM),
+            pl.BlockSpec((h, g4), w0, memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((t, b, w_in), x.dtype),
+            jax.ShapeDtypeStruct((t, b, w_in), x.dtype),
+            jax.ShapeDtypeStruct((w_in, g4), jnp.float32),
+            jax.ShapeDtypeStruct((w_in, g4), jnp.float32),
+            jax.ShapeDtypeStruct((1, g4), jnp.float32),
+            jax.ShapeDtypeStruct((1, g4), jnp.float32),
+            jax.ShapeDtypeStruct((h, g4), jnp.float32),
+            jax.ShapeDtypeStruct((h, g4), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((b, h), jnp.float32),
+            pltpu.VMEM((chunk, b, g4), jnp.float32),
+            pltpu.VMEM((chunk, b, g4), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x, x, resf, resb, hpf, hpb, cpf, cpb, dyf, dyb, wif, wib, whf, whb,
+      lengths.astype(jnp.int32).reshape(b, 1))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
+def lstm_bidir_fused_split(x, wif, wib, bif2, bib2, whf, whb, lengths,
+                           interpret=False):
+    """Direction-split variant of :func:`lstm_bidir_fused`.
+
+    Raw torch per-direction layouts: ``wif/wib [W_in, 4H]``, ``whf/whb
+    [H, 4H]``; ``bif2/bib2 [4H]`` carry BOTH biases pre-folded
+    (``torch.nn.LSTM`` adds bi+bh to every gate).
+    """
+    ysf, ysb, _, _ = _lstm_fwd_call_split(
+        x, wif, wib, bif2, bib2, whf, whb, lengths, train=False,
+        interpret=interpret)
+    return ysf, ysb
+
+
+def _lstm_vjp_fwd_split(x, wif, wib, bif2, bib2, whf, whb, lengths,
+                        interpret):
+    ysf, ysb, csf, csb, resf, resb = _lstm_fwd_call_split(
+        x, wif, wib, bif2, bib2, whf, whb, lengths, train=True,
+        interpret=interpret)
+    return (ysf, ysb), (x, wif, wib, whf, whb, lengths, ysf, ysb, csf, csb,
+                        resf, resb)
+
+
+def _lstm_vjp_bwd_split(interpret, resids, dy):
+    (x, wif, wib, whf, whb, lengths, ysf, ysb, csf, csb, resf,
+     resb) = resids
+    dyf, dyb = dy
+    hpf = jnp.concatenate([jnp.zeros_like(ysf[:1]), ysf[:-1]], axis=0)
+    ysb_k = jnp.flip(ysb, axis=0)
+    hpb = jnp.concatenate([jnp.zeros_like(ysb_k[:1]), ysb_k[:-1]], axis=0)
+    cpf = jnp.concatenate([jnp.zeros_like(csf[:1]), csf[:-1]], axis=0)
+    cpb = jnp.concatenate([jnp.zeros_like(csb[:1]), csb[:-1]], axis=0)
+    dxf, dxb, dwif, dwib, dbif, dbib, dwhf, dwhb = _lstm_bwd_call_split(
+        x, resf, resb, hpf, hpb, cpf, cpb, dyf, dyb, wif, wib, whf, whb,
+        lengths, interpret=interpret)
+    dx = (dxf.astype(jnp.float32) + dxb.astype(jnp.float32)).astype(x.dtype)
+    return (dx, dwif.astype(wif.dtype), dwib.astype(wib.dtype),
+            dbif.reshape(-1), dbib.reshape(-1),
+            dwhf.astype(whf.dtype), dwhb.astype(whb.dtype), None)
+
+
+lstm_bidir_fused_split.defvjp(_lstm_vjp_fwd_split, _lstm_vjp_bwd_split)

@@ -149,3 +149,68 @@ def test_fmix32_avalanche():
     flips = np.unpackbits(
         (h0 ^ h1).astype(">u4").view(np.uint8)).astype(float)
     assert 0.4 < flips.mean() < 0.6
+
+
+def test_model_hash_dropout_semantics():
+    """models/common.dropout and the RNN inter-layer site on the hash
+    stream: correct keep fraction, 1/keep scaling on kept elements, exact
+    zeros on dropped ones, identity at train=False, and the
+    PVA_MODEL_HASH_DROPOUT=0 arm reproduces threefry semantics."""
+    import pytorch_video_action_tpu.ops.hashmask as hm
+    from pytorch_video_action_tpu.models.common import dropout
+
+    x = jnp.ones((64, 257), jnp.float32)
+    rng = jax.random.PRNGKey(5)
+    assert dropout(rng, x, 0.5, False) is x
+    assert dropout(None, x, 0.5, True) is x
+
+    old = hm.MODEL_DROPOUT
+    try:
+        hm.MODEL_DROPOUT = True
+        y = np.asarray(dropout(rng, x, 0.5, True))
+        vals = np.unique(y)
+        assert set(np.round(vals, 5)) <= {0.0, 2.0}
+        assert abs((y != 0).mean() - 0.5) < 0.03
+        # independent keys give decorrelated masks
+        y2 = np.asarray(dropout(jax.random.PRNGKey(6), x, 0.5, True))
+        agree = ((y != 0) == (y2 != 0)).mean()
+        assert 0.45 < agree < 0.55
+        hm.MODEL_DROPOUT = False
+        yt = np.asarray(dropout(rng, x, 0.5, True))
+        assert set(np.round(np.unique(yt), 5)) <= {0.0, 2.0}
+        assert abs((yt != 0).mean() - 0.5) < 0.03
+    finally:
+        hm.MODEL_DROPOUT = old
+
+
+def test_rnn_inter_layer_dropout_streams_differ_per_layer():
+    """The inter-layer dropout inside rnn_apply must draw an independent
+    mask per layer (rng split per layer, hash stream seeded from the split
+    key) — identical masks across layers would correlate the regularizer."""
+    import pytorch_video_action_tpu.ops.hashmask as hm
+    from pytorch_video_action_tpu.ops.rnn import gru_apply, init_rnn
+
+    rng = jax.random.PRNGKey(0)
+    layers = init_rnn(rng, 8, 8, 3, bidirectional=True, n_gates=3)
+    x = jnp.ones((2, 32, 8), jnp.float32)
+    lengths = jnp.full((2,), 32, jnp.int32)
+    old = hm.MODEL_DROPOUT
+    try:
+        hm.MODEL_DROPOUT = True
+        out1 = gru_apply(layers, x, lengths, 8, bidirectional=True,
+                         dropout_rate=0.5, train=True,
+                         rng=jax.random.PRNGKey(3))
+        out2 = gru_apply(layers, x, lengths, 8, bidirectional=True,
+                         dropout_rate=0.5, train=True,
+                         rng=jax.random.PRNGKey(4))
+        assert not np.allclose(np.asarray(out1), np.asarray(out2))
+        # eval-mode forward unaffected by the stream choice
+        hm.MODEL_DROPOUT = False
+        e1 = gru_apply(layers, x, lengths, 8, bidirectional=True,
+                       dropout_rate=0.5, train=False)
+        hm.MODEL_DROPOUT = True
+        e2 = gru_apply(layers, x, lengths, 8, bidirectional=True,
+                       dropout_rate=0.5, train=False)
+        np.testing.assert_array_equal(np.asarray(e1), np.asarray(e2))
+    finally:
+        hm.MODEL_DROPOUT = old

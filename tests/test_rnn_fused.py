@@ -15,6 +15,13 @@ import jax
 import jax.numpy as jnp
 
 from pytorch_video_action_tpu.ops import rnn as R
+from pytorch_video_action_tpu.ops import rnn_fused_pallas as F
+
+# both fused step-body variants must match the XLA path (merged =
+# block-diagonal [2H, g*2H] hidden matmul; split = two dense per-direction
+# [H, gH] matmuls, torch weight layouts end-to-end)
+SPLIT_VARIANTS = pytest.mark.parametrize("split", [False, True],
+                                         ids=["merged", "split"])
 
 
 def _mk(b=8, t=64, d=16, h=128, seed=0):
@@ -27,32 +34,35 @@ def _mk(b=8, t=64, d=16, h=128, seed=0):
     return layers[0], x, lengths
 
 
-def _run(layer, x, lengths, h, use_pallas):
-    orig = R.USE_PALLAS
+def _run(layer, x, lengths, h, use_pallas, split=False):
+    orig, orig_split = R.USE_PALLAS, F.SPLIT
     R.USE_PALLAS = use_pallas
+    F.SPLIT = split
     try:
         mask = R.length_mask(lengths, x.shape[1])
         return R._run_bidir_fused("gru", layer, x, lengths, mask, h)
     finally:
-        R.USE_PALLAS = orig
+        R.USE_PALLAS, F.SPLIT = orig, orig_split
 
 
-def test_fused_layer_matches_xla_values():
+@SPLIT_VARIANTS
+def test_fused_layer_matches_xla_values(split):
     layer, x, lengths = _mk()
-    out_k = _run(layer, x, lengths, 128, True)
+    out_k = _run(layer, x, lengths, 128, True, split)
     out_x = _run(layer, x, lengths, 128, False)
     np.testing.assert_allclose(
         np.asarray(out_k), np.asarray(out_x), atol=2e-5, rtol=1e-4)
 
 
-def test_fused_layer_matches_xla_grads():
+@SPLIT_VARIANTS
+def test_fused_layer_matches_xla_grads(split):
     layer, x, lengths = _mk(seed=3)
     w = jnp.asarray(
         np.random.default_rng(9).normal(size=(8, 64, 256)).astype(np.float32))
     w = w * R.length_mask(lengths, 64).astype(jnp.float32)[:, :, None]
 
     def loss(layer, x, use_pallas):
-        return jnp.sum(_run(layer, x, lengths, 128, use_pallas) * w)
+        return jnp.sum(_run(layer, x, lengths, 128, use_pallas, split) * w)
 
     lk, gk = jax.value_and_grad(loss, argnums=(0, 1))(layer, x, True)
     lx, gx = jax.value_and_grad(loss, argnums=(0, 1))(layer, x, False)
