@@ -85,12 +85,13 @@ def test_fused_layer_bf16_close_to_f32():
         atol=5e-2, rtol=5e-2)
 
 
-def test_fused_layer_small_batch_padded_exact():
+@SPLIT_VARIANTS
+def test_fused_layer_small_batch_padded_exact(split):
     # b % 8 != 0 -> the kernel path pads the batch to 8 with lengths=0 rows
     # (inert through the carry freeze) and slices back — values must equal
     # the XLA path exactly
     layer, x, lengths = _mk(b=6, seed=7)
-    out = _run(layer, x, lengths, 128, True)
+    out = _run(layer, x, lengths, 128, True, split)
     out_x = _run(layer, x, lengths, 128, False)
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(out_x), atol=2e-5, rtol=1e-4)
@@ -100,7 +101,7 @@ def test_fused_layer_small_batch_padded_exact():
     w = w * R.length_mask(lengths, x.shape[1]).astype(jnp.float32)[:, :, None]
 
     def loss(layer, use_pallas):
-        return jnp.sum(_run(layer, x, lengths, 128, use_pallas) * w)
+        return jnp.sum(_run(layer, x, lengths, 128, use_pallas, split) * w)
 
     gk = jax.grad(lambda p: loss(p, True))(layer)
     gx = jax.grad(lambda p: loss(p, False))(layer)
@@ -118,32 +119,35 @@ def _mk_lstm(b=8, t=64, d=16, h=128, seed=0):
     return layers[0], x, lengths
 
 
-def _run_lstm(layer, x, lengths, h, use_pallas):
-    orig = R.USE_PALLAS
+def _run_lstm(layer, x, lengths, h, use_pallas, split=False):
+    orig, orig_split = R.USE_PALLAS, F.SPLIT
     R.USE_PALLAS = use_pallas
+    F.SPLIT = split
     try:
         mask = R.length_mask(lengths, x.shape[1])
         return R._run_bidir_fused("lstm", layer, x, lengths, mask, h)
     finally:
-        R.USE_PALLAS = orig
+        R.USE_PALLAS, F.SPLIT = orig, orig_split
 
 
-def test_fused_lstm_layer_matches_xla_values():
+@SPLIT_VARIANTS
+def test_fused_lstm_layer_matches_xla_values(split):
     layer, x, lengths = _mk_lstm(seed=13)
-    out_k = _run_lstm(layer, x, lengths, 128, True)
+    out_k = _run_lstm(layer, x, lengths, 128, True, split)
     out_x = _run_lstm(layer, x, lengths, 128, False)
     np.testing.assert_allclose(
         np.asarray(out_k), np.asarray(out_x), atol=2e-5, rtol=1e-4)
 
 
-def test_fused_lstm_layer_matches_xla_grads():
+@SPLIT_VARIANTS
+def test_fused_lstm_layer_matches_xla_grads(split):
     layer, x, lengths = _mk_lstm(seed=17)
     w = jnp.asarray(
         np.random.default_rng(19).normal(size=(8, 64, 256)).astype(np.float32))
     w = w * R.length_mask(lengths, 64).astype(jnp.float32)[:, :, None]
 
     def loss(layer, x, use_pallas):
-        return jnp.sum(_run_lstm(layer, x, lengths, 128, use_pallas) * w)
+        return jnp.sum(_run_lstm(layer, x, lengths, 128, use_pallas, split) * w)
 
     lk, gk = jax.value_and_grad(loss, argnums=(0, 1))(layer, x, True)
     lx, gx = jax.value_and_grad(loss, argnums=(0, 1))(layer, x, False)
