@@ -841,10 +841,13 @@ lstm_bidir_fused.defvjp(_lstm_vjp_fwd, _lstm_vjp_bwd)
 # resident weight/accumulator VMEM drops ~4x (no zero blocks).
 # PVA_RNN_SPLIT selects the variant at trace time (A/B:
 # tools/ab_rnn_split.py; docs/PERF_NOTES.md round-4 split-step entry).
+# Split is the DEFAULT: interleaved TPU A/Bs win every bench config
+# (bigru train 7.81 -> 6.40 ms/step +22%, bilstm 5.80 -> 5.12 +13%,
+# attn 10.74 -> 9.86 +9%); PVA_RNN_SPLIT=0 restores the merged body.
 
 import os as _os
 
-SPLIT = _os.environ.get("PVA_RNN_SPLIT", "0") == "1"
+SPLIT = _os.environ.get("PVA_RNN_SPLIT", "1") == "1"
 
 
 def _pick_chunk_split(t, b, h, w_in, dtype, g, lstm):

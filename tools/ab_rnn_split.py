@@ -78,7 +78,11 @@ def main(argv=None):
             @jax.jit
             def run(p, _s):
                 def body(i, acc):
-                    out = model.apply(cast(p), x, lengths, train=False)
+                    # acc feeds back into x so XLA cannot hoist the
+                    # loop-invariant forward out of the chain
+                    out = model.apply(
+                        cast(p), x + (acc * 0).astype(x.dtype),
+                        lengths, train=False)
                     return acc + out.reshape(-1)[i]
 
                 return None, None, jax.lax.fori_loop(
