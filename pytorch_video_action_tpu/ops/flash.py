@@ -78,6 +78,90 @@ DEFAULT_BLOCK = _env_block("PVA_FLASH_BLOCK", 64)
 BWD_BLOCK = _env_block("PVA_FLASH_BLOCK_BWD", 0) or None
 
 
+def _use_pallas() -> bool:
+    """Route through the query/KV-tiled Pallas kernels
+    (``ops/flash_pallas``)?  Default ON on TPU: with the fused single-pass
+    backward and (512, 1024) tiles the kernels measure +28% on the
+    isolated flash fwd+bwd and +8.7% on the full attn train step vs the
+    XLA blockwise scan (tools/ab_flash_micro.py / ab_flash_pallas.py,
+    docs/PERF_NOTES.md).  Read at trace time (not import), so drivers may
+    flip ``PVA_FLASH_PALLAS`` after importing models; on CPU ``=1`` runs
+    the kernels in interpret mode (tests)."""
+    import os
+
+    flag = os.environ.get("PVA_FLASH_PALLAS")
+    if flag is not None:
+        return flag == "1"
+    return jax.default_backend() == "tpu"
+
+
+def _pallas_shapes(q):
+    """[B, H, T, d] -> ([BH, T, d128], pad) merge + lane-pad for the kernel;
+    zero d-padding is exact through every matmul (QK adds zero products, PV
+    emits zero columns that the caller slices off)."""
+    b, h, t, d = q.shape
+    dp = (128 - d % 128) % 128
+    q = q.reshape(b * h, t, d)
+    if dp:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, dp)))
+    return q
+
+
+def _pallas_seed(rng, use_dropout):
+    from .hashmask import GOLDEN, fmix32, rng_seed_u32
+
+    if not use_dropout:
+        return jnp.zeros((1,), jnp.uint32)
+    key = fmix32(jnp.uint32(rng_seed_u32(rng)) + jnp.uint32(GOLDEN))
+    return key.reshape(1)
+
+
+def _flash_fwd_pallas(q, k, v, key_mask, dropout_rate, rng):
+    from . import flash_pallas as fp
+
+    b, h, t, d = q.shape
+    use_dropout = dropout_rate > 0.0 and rng is not None
+    keep = 1.0 - dropout_rate if use_dropout else 1.0
+    out, lse = fp.flash_fwd_pallas(
+        _pallas_shapes(q), _pallas_shapes(k), _pallas_shapes(v),
+        key_mask.astype(jnp.float32), _pallas_seed(rng, use_dropout),
+        num_heads=h, keep=keep, bq=fp.DEFAULT_BLOCK_Q, bkv=fp.DEFAULT_BLOCK_KV,
+        mxu_bf16=fp.MXU_BF16, interpret=jax.default_backend() != "tpu",
+    )
+    out = out[..., :d].reshape(b, h, t, d)
+    lse = lse.reshape(b, h, t)
+    row_valid = jnp.broadcast_to(
+        jnp.any(key_mask, axis=-1)[:, None, None], (b, h, t)
+    )
+    # fully-masked rows: the kernel already emits zero out / zero lse
+    return out, lse, row_valid
+
+
+def _flash_bwd_pallas(q, k, v, key_mask, rng, out, lse, dout, dropout_rate):
+    from . import flash_pallas as fp
+
+    b, h, t, d = q.shape
+    t_kv = k.shape[2]
+    use_dropout = dropout_rate > 0.0 and rng is not None
+    keep = 1.0 - dropout_rate if use_dropout else 1.0
+    delta = jnp.sum(
+        dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )
+    dq, dk, dv = fp.flash_bwd_pallas(
+        _pallas_shapes(q), _pallas_shapes(k), _pallas_shapes(v),
+        key_mask.astype(jnp.float32), _pallas_seed(rng, use_dropout),
+        lse.reshape(b * h, t), delta.reshape(b * h, t),
+        _pallas_shapes(dout),
+        num_heads=h, keep=keep, bq=fp.DEFAULT_BLOCK_Q, bkv=fp.DEFAULT_BLOCK_KV,
+        mxu_bf16=fp.MXU_BF16, fused=fp.FUSED_BWD,
+        interpret=jax.default_backend() != "tpu",
+    )
+    dq = dq[..., :d].reshape(b, h, t, d).astype(q.dtype)
+    dk = dk[..., :d].reshape(b, h, t_kv, d)
+    dv = dv[..., :d].reshape(b, h, t_kv, d)
+    return dq, dk, dv
+
+
 def _kv_blocks(k, v, key_mask, block: int):
     """Pad T_kv up to a multiple of ``block`` and reshape to per-block
     leading-axis stacks for ``lax.scan``."""
@@ -191,19 +275,34 @@ def flash_self_attention(q, k, v, key_mask, dropout_rate=0.0, rng=None,
       key_mask: ``[B, T_kv]`` bool, True = attendable.
       dropout_rate / rng: post-softmax attention-matrix dropout (train mode).
     """
-    out, _, _ = _flash_fwd_scan(q, k, v, key_mask, dropout_rate, rng, block)
+    if _use_pallas():
+        out, _, _ = _flash_fwd_pallas(q, k, v, key_mask, dropout_rate, rng)
+    else:
+        out, _, _ = _flash_fwd_scan(
+            q, k, v, key_mask, dropout_rate, rng, block
+        )
     return out
 
 
 def _flash_vjp_fwd(q, k, v, key_mask, dropout_rate, rng, block):
-    out, lse, row_valid = _flash_fwd_scan(
-        q, k, v, key_mask, dropout_rate, rng, block
-    )
+    if _use_pallas():
+        out, lse, row_valid = _flash_fwd_pallas(
+            q, k, v, key_mask, dropout_rate, rng
+        )
+    else:
+        out, lse, row_valid = _flash_fwd_scan(
+            q, k, v, key_mask, dropout_rate, rng, block
+        )
     return out, (q, k, v, key_mask, rng, out, lse, row_valid)
 
 
 def _flash_vjp_bwd(dropout_rate, block, res, dout):
     q, k, v, key_mask, rng, out, lse, row_valid = res
+    if _use_pallas():
+        dq, dk, dv = _flash_bwd_pallas(
+            q, k, v, key_mask, rng, out, lse, dout, dropout_rate
+        )
+        return dq, dk, dv, None, None
     b, h, t, d = q.shape
     t_kv = k.shape[2]
     # independent backward block size (working set differs: bwd holds

@@ -1,0 +1,571 @@
+"""Pallas flash-attention kernels: query-tiled, VMEM-resident score tiles.
+
+The XLA blockwise path (``ops/flash.py``) scans KV blocks with ALL queries
+live per block: at the attn bench regime (B=4, H=4, T=4096, d=100) each
+block materializes a ``[4, 4, 4096, 64]`` f32 score tensor (16.8 MB) plus
+the rescaled ``[B, H, T, d]`` accumulator — per-step profiling shows the
+two flash scans at 5.8 ms of the 9.3 ms train step, ~3x the bf16 FLOP
+floor, all of it HBM traffic on those intermediates.  These kernels tile
+BOTH axes: each grid step holds one ``[bq, bkv]`` score tile and the
+``[bq, d]`` online-softmax state in VMEM, so nothing quadratic ever
+touches HBM.
+
+Semantics are EXCHANGEABLE with the XLA path (``flash.py``):
+
+* same online-softmax fold (m/l/acc always f32, matmuls in the input
+  dtype),
+* same post-softmax dropout stream — the murmur3-fmix32 counter hash over
+  the GLOBAL ``[B, H, T, T_kv]`` element index with the same scalar key
+  derivation, so a Pallas forward pairs exactly with the XLA recompute
+  backward (and vice versa) and any fwd/bwd block partition resamples the
+  identical mask,
+* same fully-masked-row contract (zero output, zero lse, zero grads).
+
+Backward rebuilds ``p = exp(s - lse)`` from the saved log-sum-exp and
+applies the softmax Jacobian through the ``delta = dout . out`` identity —
+nothing ``[T, T]`` is ever stored.  Two forms:
+
+* **fused single-pass** (default whenever the whole padded-T query block
+  fits VMEM — the common case for this workload's small head_dim): grid
+  ``(BH, n_kv)``, dq accumulates in scratch while dk/dv write per KV tile,
+  so ALL THREE grads cost ONE score recompute / exp / dropout-hash per
+  element.  The two-kernel split pays that recompute twice; the fused form
+  measured +22% on the isolated fwd+bwd (B=4, H=4, T=4096, d=100).
+* **two-kernel split** (dk/dv kernel with query-minor grid + dq kernel
+  with KV-minor grid) for sequences too long to keep q/dout/dq resident.
+
+Under ``MXU_BF16`` (the TPU default) the wrappers demote q/k/v/dout to
+bf16 ONCE in HBM before the kernel — in-kernel per-step casts measured
+negative (VMEM duplication + lane relayout every grid step) — while every
+accumulator (m/l/acc, dq/dk/dv, softmax state) stays f32 via
+``preferred_element_type``; this mirrors the bf16 demotion XLA's
+propagation pass applies to the blockwise-scan path, so numerics match
+the XLA path it replaces.
+
+Reference workload: ``networks.py:169-203`` (nn.MultiheadAttention over
+whole Breakfast videos, 4k+ frames).  Equivalence vs the XLA path (values
++ grads + dropout exactness) is tested in interpret mode on CPU in
+``tests/test_flash_pallas.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .hashmask import GOLDEN, fmix32, rng_seed_u32, threshold
+
+NEG_INF = -1e30
+
+# Tile sizes, tuned by interleaved A/B on the isolated B=4 H=4 T=4096
+# d=100 flash fwd (tools/ab_flash_micro.py --fwd_only, dropout 0.3):
+# (512, 1024) -> 2.14 ms vs (512, 512) 2.41, (512, 2048) 2.08 (marginal,
+# less VMEM headroom), (256, 512) 2.55, (1024, 512) and (4096, 256) lose —
+# wide KV tiles amortize the per-grid-step overhead while the [bq, bkv]
+# f32 score tile stays VMEM-resident.  The fused backward picks its own
+# KV tile from the VMEM budget below.
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_KV = 1024
+# Run the in-kernel dots with bf16 OPERANDS (f32 accumulation via
+# preferred_element_type) regardless of the input dtype — mirrors the bf16
+# demotion XLA's propagation pass applies to the blockwise-scan path.
+MXU_BF16 = True
+# Single-pass fused backward (one recompute for dq+dk+dv) when the padded-T
+# query block fits VMEM; the two-kernel split covers longer sequences.
+FUSED_BWD = True
+_FUSED_VMEM_BUDGET = 15 * 1024 * 1024
+
+
+def _key_scalar(rng):
+    """Scalar uint32 mask key — identical derivation to
+    ``flash._block_keep_mask`` so either path regenerates the other's
+    sampled dropout mask."""
+    return fmix32(jnp.uint32(rng_seed_u32(rng)) + jnp.uint32(GOLDEN))
+
+
+def _tile_keep_mask(seed, bh, iq, jkv, *, num_heads, t, t_kv, bq, bkv,
+                    thresh):
+    """[bq, bkv] bool keep-mask for the score tile whose rows start at global
+    query iq*bq and columns at global kv jkv*bkv of head (bh % H) of batch
+    (bh // H) — bitwise the stream of ``flash._block_keep_mask`` (element
+    index in the virtual [B, H, T, T_kv] attention matrix, uint32 wrap)."""
+    bh = bh.astype(jnp.uint32)
+    off = (bh // jnp.uint32(num_heads)) * jnp.uint32(num_heads * t * t_kv) + (
+        bh % jnp.uint32(num_heads)
+    ) * jnp.uint32(t * t_kv)
+    row = (
+        iq.astype(jnp.uint32) * jnp.uint32(bq)
+        + lax.broadcasted_iota(jnp.uint32, (bq, bkv), 0)
+    ) * jnp.uint32(t_kv)
+    col = jkv.astype(jnp.uint32) * jnp.uint32(bkv) + lax.broadcasted_iota(
+        jnp.uint32, (bq, bkv), 1
+    )
+    return fmix32((off + row + col) ^ seed) < jnp.uint32(thresh)
+
+
+# --------------------------------------------------------------- forward
+
+
+def _fwd_kernel(seed_ref, mask_ref, q_ref, k_ref, v_ref, out_ref, lse_ref,
+                m_scr, l_scr, acc_scr, *, nkv, bq, bkv, t, t_kv, num_heads,
+                keep, thresh):
+    j = pl.program_id(2)
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    q = q_ref[0]                      # [bq, d]
+    s = jnp.dot(q, k_ref[0].T, preferred_element_type=jnp.float32)
+    s = jnp.where(mask_ref[0, 0][None, :] > 0, s, NEG_INF)  # [bq, bkv]
+
+    m_prev = m_scr[...]               # [bq, 1] f32
+    m_new = jnp.maximum(m_prev, s.max(axis=-1, keepdims=True))
+    alpha = jnp.exp(m_prev - m_new)
+    # NOTE: a bf16 exp variant measured NEGATIVE here (+5% step time):
+    # the f32<->bf16 casts relayout across vector lanes and cost more than
+    # the faster transcendental saves (same failure mode as the round-3
+    # packed-byte-masks result) — keep the whole VPU chain f32.
+    p = jnp.exp(s - m_new)            # [bq, bkv] f32
+    l_scr[...] = l_scr[...] * alpha + p.sum(axis=-1, keepdims=True)
+    m_scr[...] = m_new
+
+    if keep < 1.0:
+        km = _tile_keep_mask(
+            jnp.uint32(seed_ref[0]), pl.program_id(0), pl.program_id(1), j,
+            num_heads=num_heads, t=t, t_kv=t_kv, bq=bq, bkv=bkv,
+            thresh=thresh,
+        )
+        p = p * km.astype(jnp.float32) / keep
+
+    acc_scr[...] = acc_scr[...] * alpha + jnp.dot(
+        p.astype(v_ref.dtype), v_ref[0], preferred_element_type=jnp.float32
+    )
+
+    @pl.when(j == nkv - 1)
+    def _fin():
+        m = m_scr[...]
+        row_valid = m > NEG_INF / 2
+        l_safe = jnp.maximum(l_scr[...], 1e-30)
+        out = jnp.where(row_valid, acc_scr[...] / l_safe, 0.0)
+        out_ref[0] = out.astype(out_ref.dtype)
+        lse = jnp.where(row_valid, m + jnp.log(l_safe), 0.0)
+        lse_ref[0, 0] = lse[:, 0]
+
+
+def _pad_to(x, axis, mult):
+    size = x.shape[axis]
+    pad = (mult - size % mult) % mult
+    if pad == 0:
+        return x
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return jnp.pad(x, widths)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "keep", "bq", "bkv", "mxu_bf16",
+                     "interpret"),
+)
+def flash_fwd_pallas(q, k, v, mask_f32, seed_u32, *, num_heads, keep=1.0,
+                     bq=DEFAULT_BLOCK_Q, bkv=DEFAULT_BLOCK_KV,
+                     mxu_bf16=MXU_BF16, interpret=False):
+    """Query/KV-tiled flash forward.
+
+    q/k/v ``[BH, T, d]`` (q pre-scaled; d padded to a lane multiple by the
+    caller), mask_f32 ``[B, T_kv]`` (1.0 attendable), seed_u32 ``[1]``.
+    Returns ``out [BH, T, d]`` (input dtype) and ``lse [BH, T]`` f32.
+    """
+    bh_n, t, d = q.shape
+    t_kv = k.shape[1]
+    bq_ = min(bq, t)
+    bkv_ = min(bkv, t_kv)
+    qp = _pad_to(q, 1, bq_)
+    kp = _pad_to(k, 1, bkv_)
+    vp = _pad_to(v, 1, bkv_)
+    mp = _pad_to(mask_f32, 1, bkv_)
+    tq, tk = qp.shape[1], kp.shape[1]
+    nq, nkv = tq // bq_, tk // bkv_
+
+    if mxu_bf16:
+        # one HBM-side demotion instead of a per-grid-step in-kernel cast
+        # (which also duplicated the f32 tile in VMEM); accumulation stays
+        # f32 via preferred_element_type, out is cast back by the caller
+        qp, kp, vp = (a.astype(jnp.bfloat16) for a in (qp, kp, vp))
+    kern = functools.partial(
+        _fwd_kernel, nkv=nkv, bq=bq_, bkv=bkv_, t=t, t_kv=t_kv,
+        num_heads=num_heads, keep=keep, thresh=threshold(keep),
+    )
+    out, lse = pl.pallas_call(
+        kern,
+        grid=(bh_n, nq, nkv),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),                    # seed
+            pl.BlockSpec((1, 1, bkv_),
+                         lambda bh, i, j: (bh // num_heads, 0, j),
+                         memory_space=pltpu.VMEM),                    # mask
+            pl.BlockSpec((1, bq_, d), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),                    # q
+            pl.BlockSpec((1, bkv_, d), lambda bh, i, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),                    # k
+            pl.BlockSpec((1, bkv_, d), lambda bh, i, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),                    # v
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bq_, d), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq_), lambda bh, i, j: (bh, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh_n, tq, d), qp.dtype),
+            jax.ShapeDtypeStruct((bh_n, 1, tq), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bq_, 1), jnp.float32),
+            pltpu.VMEM((bq_, 1), jnp.float32),
+            pltpu.VMEM((bq_, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed_u32, mp[:, None, :], qp, kp, vp)
+    return out[:, :t].astype(q.dtype), lse[:, 0, :t]
+
+
+# --------------------------------------------------------------- backward
+
+
+def _dkdv_kernel(seed_ref, mask_ref, q_ref, dout_ref, lse_ref, delta_ref,
+                 k_ref, v_ref, dk_ref, dv_ref, dk_scr, dv_scr, *, nq, bq,
+                 bkv, t, t_kv, num_heads, keep, thresh):
+    i = pl.program_id(2)  # query-tile index (minor)
+
+    @pl.when(i == 0)
+    def _init():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    q = q_ref[0]                      # [bq, d]
+    dout = dout_ref[0]                # [bq, d]
+    s = jnp.dot(q, k_ref[0].T, preferred_element_type=jnp.float32)
+    s = jnp.where(mask_ref[0, 0][None, :] > 0, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])       # [bq, bkv] f32
+    g = jnp.dot(dout, v_ref[0].T, preferred_element_type=jnp.float32)
+
+    if keep < 1.0:
+        km = _tile_keep_mask(
+            jnp.uint32(seed_ref[0]), pl.program_id(0), i, pl.program_id(1),
+            num_heads=num_heads, t=t, t_kv=t_kv, bq=bq, bkv=bkv,
+            thresh=thresh,
+        ).astype(jnp.float32) / keep
+        p_drop = p * km
+        g = g * km
+    else:
+        p_drop = p
+
+    # dv += p_drop^T @ dout ; dk += ds^T @ q  (contract the query axis)
+    dv_scr[...] += lax.dot_general(
+        p_drop.astype(dout.dtype), dout, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    ds = (p * (g - delta_ref[0, 0][:, None])).astype(q.dtype)
+    dk_scr[...] += lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(i == nq - 1)
+    def _fin():
+        dk_ref[0] = dk_scr[...].astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def _bwd_fused_kernel(seed_ref, mask_ref, q_ref, dout_ref, lse_ref,
+                      delta_ref, k_ref, v_ref, dq_ref, dk_ref, dv_ref,
+                      dq_scr, *, nkv, tq, bkv, t, t_kv, num_heads, keep,
+                      thresh):
+    """Single-pass backward: ALL queries stay VMEM-resident (bq == padded T)
+    so one sweep over KV tiles produces dq (scratch accumulate), dk and dv
+    (written per tile) — ONE score recompute / exp / dropout-hash per
+    element instead of the two-kernel split's two.  Feasible exactly
+    because the workload is long-video attention at small d: q/dout/dq are
+    [T, 128] (2 MB each at T=4096), and the [T, bkv] p/g/ds tiles bound the
+    live set, so bkv (FUSED_BLOCK_KV) is the VMEM knob."""
+    j = pl.program_id(1)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]                      # [tq, d]
+    dout = dout_ref[0]                # [tq, d]
+    k_c = k_ref[0]                    # [bkv, d]
+    s = jnp.dot(q, k_c.T, preferred_element_type=jnp.float32)
+    s = jnp.where(mask_ref[0, 0][None, :] > 0, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])       # [tq, bkv] f32
+    g = jnp.dot(dout, v_ref[0].T, preferred_element_type=jnp.float32)
+
+    if keep < 1.0:
+        # iq=0 with bq=tq: rows are already global query indices
+        km = _tile_keep_mask(
+            jnp.uint32(seed_ref[0]), pl.program_id(0),
+            jnp.int32(0), j,
+            num_heads=num_heads, t=t, t_kv=t_kv, bq=tq, bkv=bkv,
+            thresh=thresh,
+        ).astype(jnp.float32) / keep
+        p_drop = p * km
+        g = g * km
+    else:
+        p_drop = p
+
+    dv_ref[0] = lax.dot_general(
+        p_drop.astype(dout.dtype), dout, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dv_ref.dtype)
+    ds = (p * (g - delta_ref[0, 0][:, None])).astype(q.dtype)
+    dk_ref[0] = lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dk_ref.dtype)
+    dq_scr[...] += jnp.dot(ds, k_c, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nkv - 1)
+    def _fin():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+def _bwd_fused_call(q, k, v, mask_f32, seed_u32, lse, delta, dout, *,
+                    num_heads, keep, bkv, mxu_bf16, interpret):
+    orig_dtype = (q.dtype, k.dtype, v.dtype)
+    """Single-pass fused backward launch: grid (BH, nkv), whole padded-T
+    query block resident.  Padded query rows are neutralized by the lse
+    guard (p -> exp(-BIG) == 0) exactly like the two-kernel path."""
+    bh_n, t, d = q.shape
+    t_kv = k.shape[1]
+    qp = _pad_to(q, 1, 8)
+    dop = _pad_to(dout, 1, 8)
+    lsep = _pad_to(lse, 1, 8)
+    if lsep.shape[1] != t:
+        pad_rows = lax.broadcasted_iota(jnp.int32, lsep.shape, 1) >= t
+        lsep = jnp.where(pad_rows, -NEG_INF, lsep)
+    deltap = _pad_to(delta, 1, 8)
+    bkv_ = min(bkv, t_kv)
+    kp = _pad_to(k, 1, bkv_)
+    vp = _pad_to(v, 1, bkv_)
+    mp = _pad_to(mask_f32, 1, bkv_)
+    tq, tk = qp.shape[1], kp.shape[1]
+    nkv = tk // bkv_
+    if mxu_bf16:
+        qp, dop, kp, vp = (
+            a.astype(jnp.bfloat16) for a in (qp, dop, kp, vp)
+        )
+
+    kern = functools.partial(
+        _bwd_fused_kernel, nkv=nkv, tq=tq, bkv=bkv_, t=t, t_kv=t_kv,
+        num_heads=num_heads, keep=keep, thresh=threshold(keep),
+    )
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    dq, dk, dv = pl.pallas_call(
+        kern,
+        grid=(bh_n, nkv),
+        in_specs=[
+            seed_spec,
+            pl.BlockSpec((1, 1, bkv_), lambda bh, j: (bh // num_heads, 0, j),
+                         memory_space=pltpu.VMEM),                    # mask
+            pl.BlockSpec((1, tq, d), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),                    # q
+            pl.BlockSpec((1, tq, d), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),                    # dout
+            pl.BlockSpec((1, 1, tq), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),                    # lse
+            pl.BlockSpec((1, 1, tq), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),                    # delta
+            pl.BlockSpec((1, bkv_, d), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),                    # k
+            pl.BlockSpec((1, bkv_, d), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),                    # v
+        ],
+        out_specs=[
+            pl.BlockSpec((1, tq, d), lambda bh, j: (bh, 0, 0),
+                         memory_space=pltpu.VMEM),                    # dq
+            pl.BlockSpec((1, bkv_, d), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),                    # dk
+            pl.BlockSpec((1, bkv_, d), lambda bh, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),                    # dv
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh_n, tq, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh_n, tk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh_n, tk, d), jnp.float32),
+        ],
+        scratch_shapes=[pltpu.VMEM((tq, d), jnp.float32)],
+        interpret=interpret,
+    )(seed_u32, mp[:, None, :], qp, dop, lsep[:, None, :],
+      deltap[:, None, :], kp, vp)
+    return (dq[:, :t], dk[:, :t_kv].astype(orig_dtype[1]),
+            dv[:, :t_kv].astype(orig_dtype[2]))
+
+
+def _dq_kernel(seed_ref, mask_ref, k_ref, v_ref, q_ref, dout_ref, lse_ref,
+               delta_ref, dq_ref, dq_scr, *, nkv, bq, bkv, t, t_kv,
+               num_heads, keep, thresh):
+    j = pl.program_id(2)  # kv-tile index (minor)
+
+    @pl.when(j == 0)
+    def _init():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    q = q_ref[0]
+    dout = dout_ref[0]
+    k_c = k_ref[0]
+    s = jnp.dot(q, k_c.T, preferred_element_type=jnp.float32)
+    s = jnp.where(mask_ref[0, 0][None, :] > 0, s, NEG_INF)
+    p = jnp.exp(s - lse_ref[0, 0][:, None])
+    g = jnp.dot(dout, v_ref[0].T, preferred_element_type=jnp.float32)
+
+    if keep < 1.0:
+        km = _tile_keep_mask(
+            jnp.uint32(seed_ref[0]), pl.program_id(0), pl.program_id(1), j,
+            num_heads=num_heads, t=t, t_kv=t_kv, bq=bq, bkv=bkv,
+            thresh=thresh,
+        ).astype(jnp.float32) / keep
+        g = g * km
+
+    ds = (p * (g - delta_ref[0, 0][:, None])).astype(q.dtype)
+    dq_scr[...] += jnp.dot(ds, k_c, preferred_element_type=jnp.float32)
+
+    @pl.when(j == nkv - 1)
+    def _fin():
+        dq_ref[0] = dq_scr[...].astype(dq_ref.dtype)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("num_heads", "keep", "bq", "bkv", "mxu_bf16", "fused",
+                     "interpret"),
+)
+def flash_bwd_pallas(q, k, v, mask_f32, seed_u32, lse, delta, dout, *,
+                     num_heads, keep=1.0, bq=DEFAULT_BLOCK_Q,
+                     bkv=DEFAULT_BLOCK_KV, mxu_bf16=MXU_BF16,
+                     fused=FUSED_BWD, interpret=False):
+    """Flash recompute backward: returns (dq f32, dk, dv) for ``[BH, T, d]``
+    inputs.  ``lse``/``delta`` are ``[BH, T]`` f32 (delta = sum(dout*out)).
+
+    Prefers the single-pass fused kernel (one recompute for all three
+    grads) whenever the whole padded-T query block fits VMEM; falls back
+    to the two-kernel (dk/dv, dq) split for longer sequences."""
+    bh_n, t, d = q.shape
+    t_kv = k.shape[1]
+    if fused:
+        tq8 = t + (-t) % 8
+        for bkv_f in (256, 128):  # last dim must tile by 128 lanes
+            # live set: q/dout/dq [tq, d] f32 + ~4 [tq, bkv] f32 tiles
+            if tq8 * (3 * d + 4 * bkv_f) * 4 <= _FUSED_VMEM_BUDGET:
+                return _bwd_fused_call(
+                    q, k, v, mask_f32, seed_u32, lse, delta, dout,
+                    num_heads=num_heads, keep=keep, bkv=bkv_f,
+                    mxu_bf16=mxu_bf16, interpret=interpret,
+                )
+    bq_ = min(bq, t)
+    bkv_ = min(bkv, t_kv)
+    qp = _pad_to(q, 1, bq_)
+    dop = _pad_to(dout, 1, bq_)
+    # padded query rows must contribute nothing to dk/dv: their recomputed
+    # p = exp(s - 0) is garbage unless their lse forces it to zero
+    lsep = _pad_to(lse, 1, bq_)
+    if lsep.shape[1] != t:
+        pad_rows = (
+            lax.broadcasted_iota(jnp.int32, lsep.shape, 1) >= t
+        )
+        lsep = jnp.where(pad_rows, -NEG_INF, lsep)  # exp(s - BIG) == 0
+    deltap = _pad_to(delta, 1, bq_)
+    kp = _pad_to(k, 1, bkv_)
+    vp = _pad_to(v, 1, bkv_)
+    mp = _pad_to(mask_f32, 1, bkv_)
+    tq, tk = qp.shape[1], kp.shape[1]
+    nq, nkv = tq // bq_, tk // bkv_
+
+    if mxu_bf16:
+        qp, dop, kp, vp = (
+            a.astype(jnp.bfloat16) for a in (qp, dop, kp, vp)
+        )
+    common = dict(bq=bq_, bkv=bkv_, t=t, t_kv=t_kv, num_heads=num_heads,
+                  keep=keep, thresh=threshold(keep))
+
+    seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+
+    dk, dv = pl.pallas_call(
+        functools.partial(_dkdv_kernel, nq=nq, **common),
+        grid=(bh_n, nkv, nq),
+        in_specs=[
+            seed_spec,
+            pl.BlockSpec((1, 1, bkv_),
+                         lambda bh, j, i: (bh // num_heads, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq_, d), lambda bh, j, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq_, d), lambda bh, j, i: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq_), lambda bh, j, i: (bh, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq_), lambda bh, j, i: (bh, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv_, d), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv_, d), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, bkv_, d), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv_, d), lambda bh, j, i: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((bh_n, tk, d), jnp.float32),
+            jax.ShapeDtypeStruct((bh_n, tk, d), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((bkv_, d), jnp.float32),
+            pltpu.VMEM((bkv_, d), jnp.float32),
+        ],
+        interpret=interpret,
+    )(seed_u32, mp[:, None, :], qp, dop, lsep[:, None, :],
+      deltap[:, None, :], kp, vp)
+
+    dq = pl.pallas_call(
+        functools.partial(_dq_kernel, nkv=nkv, **common),
+        grid=(bh_n, nq, nkv),
+        in_specs=[
+            seed_spec,
+            pl.BlockSpec((1, 1, bkv_),
+                         lambda bh, i, j: (bh // num_heads, 0, j),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv_, d), lambda bh, i, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bkv_, d), lambda bh, i, j: (bh, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq_, d), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, bq_, d), lambda bh, i, j: (bh, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq_), lambda bh, i, j: (bh, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bq_), lambda bh, i, j: (bh, 0, i),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, bq_, d), lambda bh, i, j: (bh, i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((bh_n, tq, d), jnp.float32),
+        scratch_shapes=[pltpu.VMEM((bq_, d), jnp.float32)],
+        interpret=interpret,
+    )(seed_u32, mp[:, None, :], kp, vp, qp, dop, lsep[:, None, :],
+      deltap[:, None, :])
+
+    return (dq[:, :t], dk[:, :t_kv].astype(k.dtype),
+            dv[:, :t_kv].astype(v.dtype))
