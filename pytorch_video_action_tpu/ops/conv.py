@@ -157,6 +157,65 @@ def conv1d(p: dict, x: jax.Array, dilation: int = 1) -> jax.Array:
     return out + p["b"]
 
 
+def _fused_bwd_enabled() -> bool:
+    """Fused single-pass Pallas backward for the train-time layer
+    (``conv_pallas._layer_bwd_kernel``) — MEASURED NEGATIVE on the bench
+    step (12.07 vs 6.13 ms/step, tools/ab_conv_fused_bwd.py): the whole-
+    [T, C] blocks fill VMEM (16.8M first cut) so nothing double-buffers
+    and the per-layer kernel DMA serializes against compute, while XLA's
+    autodiff already streams the saved activations at high utilization.
+    Kept grad-exact behind ``PVA_CONV_FUSED_BWD=1`` (default OFF), tested
+    across dilation classes in tests/test_pallas_kernels.py."""
+    return _os.environ.get("PVA_CONV_FUSED_BWD") == "1"
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _layer_train_fused(w_d, b_d, w_p, b_p, x, mask, seed_f32, dilation,
+                       keep, interpret):
+    """Train-time layer (tap forward + hash dropout) whose VJP is the
+    fused Pallas backward: ONE kernel recomputes the forward in VMEM and
+    emits dx plus all weight/bias grads, instead of autodiff streaming
+    saved relu/1x1 activations through HBM (the 4.2 ms backward residual,
+    docs/PERF_NOTES.md).  The forward here is the ordinary XLA tap path —
+    values are bit-identical to the non-fused branch."""
+    from jax import lax
+
+    from .hashmask import keep_mask, threshold
+
+    out = jax.nn.relu(_tap3_value(dilation, w_d, b_d, x))
+    out = out @ w_p[0] + b_p
+    if keep < 1.0:
+        seed = lax.bitcast_convert_type(seed_f32, jnp.uint32)
+        km = keep_mask(seed, out.shape, threshold(keep))
+        out = jnp.where(km, out * (1.0 / keep), jnp.zeros((), out.dtype))
+    return (x + out) * mask
+
+
+def _layer_train_fused_fwd(w_d, b_d, w_p, b_p, x, mask, seed_f32, dilation,
+                           keep, interpret):
+    out = _layer_train_fused(w_d, b_d, w_p, b_p, x, mask, seed_f32,
+                             dilation, keep, interpret)
+    return out, (w_d, b_d, w_p, x, mask, seed_f32)
+
+
+def _layer_train_fused_bwd(dilation, keep, interpret, res, dy):
+    from .conv_pallas import _layer_bwd_call
+
+    w_d, b_d, w_p, x, mask, seed_f32 = res
+    m3 = mask if mask.ndim == 3 else mask[:, :, None]
+    dw_d, db_d, dw_p, db_p, dx = _layer_bwd_call(
+        w_d, b_d, w_p, x, m3, dy, seed_f32, dilation, keep,
+        interpret=interpret,
+    )
+    # the frame mask is data (nothing differentiates w.r.t. it), but
+    # custom_vjp requires a cotangent per input
+    return (dw_d, db_d, dw_p, db_p, dx, jnp.zeros_like(mask),
+            jnp.zeros_like(seed_f32))
+
+
+_layer_train_fused.defvjp(_layer_train_fused_fwd, _layer_train_fused_bwd)
+
+
 def dilated_residual_layer(
     layer: dict,
     x: jax.Array,
@@ -185,6 +244,40 @@ def dilated_residual_layer(
                                      dropout_rate=drop, seeds=seeds)
         if out is not None:
             return out
+    w_d = layer["conv_dilated"]["w"]
+    w_p = layer["conv_1x1"]["w"]
+    if (
+        train
+        and CONV_TAPS
+        and HASH_DROPOUT
+        and not PACKED_MASKS
+        and not PACK_BWD
+        and w_d.ndim == 3 and w_d.shape[0] == 3
+        and w_d.shape[1] == w_d.shape[2] == w_p.shape[1] == w_p.shape[2]
+        and _fused_bwd_enabled()
+    ):
+        from .conv_pallas import bwd_supported
+
+        b, t, c = x.shape
+        if bwd_supported(b, t, c, jnp.dtype(x.dtype).itemsize):
+            from jax import lax
+
+            from .hashmask import rng_seed_u32
+
+            keep = (
+                1.0 - dropout_rate
+                if (dropout_rate > 0.0 and rng is not None) else 1.0
+            )
+            seed_f32 = (
+                lax.bitcast_convert_type(
+                    jnp.uint32(rng_seed_u32(rng)), jnp.float32)
+                if keep < 1.0 else jnp.float32(0.0)
+            )
+            return _layer_train_fused(
+                w_d, layer["conv_dilated"]["b"], w_p, layer["conv_1x1"]["b"],
+                x, mask, seed_f32, dilation, keep,
+                jax.default_backend() != "tpu",
+            )
     out = jax.nn.relu(conv1d(layer["conv_dilated"], x, dilation))
     out = conv1d(layer["conv_1x1"], out)
     if train and dropout_rate > 0.0 and rng is not None:

@@ -397,3 +397,156 @@ def fused_stage(layers: list, x, mask, dropout_rate: float = 0.0,
     bp = jnp.stack([l["conv_1x1"]["b"] for l in layers])
     return _stage(wcat, bd, wp, bp, x, jnp.asarray(mask, x.dtype), seeds_f32,
                   dilations, keep, interpret)
+
+
+# ------------------------------------------------- fused layer BACKWARD
+
+# The MS-TCN train step's backward residual (4.2 ms vs a ~1.4 ms FLOP
+# floor, docs/PERF_NOTES.md) is saved-intermediate HBM traffic: autodiff
+# stores relu/1x1 activations per layer and streams them back.  This
+# kernel recomputes the layer forward from its input x IN VMEM and emits
+# every gradient in one pass — dx plus per-video partial weight/bias grads
+# (summed by the glue; [B, C, C] partials are ~0.1 MB).  The dropout
+# keep-mask is regenerated from the SAME [B, T, C] linear-index hash
+# stream the XLA train path samples (ops/hashmask.keep_mask), so the VJP
+# is exact for the sampled mask.  Reference op: networks.py:336-347.
+
+
+def _layer_bwd_kernel(seed_ref, x_ref, dym_ref, w0_ref, w1_ref,
+                      w2_ref, bd_ref, wp_ref, dx_ref, dw0_ref, dw1_ref,
+                      dw2_ref, dbd_ref, dwp_ref, dbp_ref, *, dilation: int,
+                      keep: float, thresh: int, t: int, c: int):
+    """VMEM discipline: C=64 arrays are lane-padded to 128, so every f32
+    [T, C] live value costs 2 MB at T=4096 — elementwise chains stay in
+    the INPUT dtype (bf16 on the bench path) and f32 appears only as
+    matmul accumulation (preferred_element_type) and the short-lived
+    g/dh tensors the relu mask and bias sums need."""
+    from jax import lax as _lax
+
+    b = pl.program_id(0)
+    x = x_ref[0]            # [T, C] input dtype
+    # dy_m = dy * frame_mask, pre-multiplied by the glue: a [T, 1] mask
+    # tile lane-pads to a full 2 MB f32 tile in VMEM, which alone OOM'd
+    # the 16M budget at the bench shape
+    dy_m = dym_ref[0]       # [T, C]
+    d = dilation
+
+    # recompute the pre-relu activation exactly like the forward tap path
+    g = jnp.dot(x, w1_ref[...], preferred_element_type=jnp.float32)
+    g += bd_ref[...]
+    if d < t:
+        z0 = jnp.dot(x[: t - d], w0_ref[...],
+                     preferred_element_type=jnp.float32)
+        g += jnp.pad(z0, ((d, 0), (0, 0)))
+        z2 = jnp.dot(x[d:], w2_ref[...], preferred_element_type=jnp.float32)
+        g += jnp.pad(z2, ((0, d), (0, 0)))
+    hc = jnp.maximum(g, 0.0).astype(x.dtype)          # [T, C]
+
+    if keep < 1.0:
+        # the XLA path samples ONE [B, T, C] row-major mask; this video's
+        # slice starts at linear index b*T*C
+        from .hashmask import GOLDEN, fmix32
+
+        key = fmix32(jnp.uint32(seed_ref[0]) + jnp.uint32(GOLDEN))
+        idx = (
+            b.astype(jnp.uint32) * jnp.uint32(t * c)
+            + _lax.broadcasted_iota(jnp.uint32, (t, c), 0) * jnp.uint32(c)
+            + _lax.broadcasted_iota(jnp.uint32, (t, c), 1)
+        )
+        km = fmix32(idx ^ key) < jnp.uint32(thresh)
+        dout2 = jnp.where(km, dy_m * dy_m.dtype.type(1.0 / keep),
+                          dy_m.dtype.type(0.0))
+    else:
+        dout2 = dy_m
+
+    # 1x1 conv backward (out2 = relu(g) @ wp + bp)
+    dwp_ref[0] = _lax.dot_general(
+        hc, dout2, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dwp_ref.dtype)
+    dbp_ref[0, 0] = dout2.astype(jnp.float32).sum(axis=0)
+    dh = jnp.dot(dout2, wp_ref[...].T, preferred_element_type=jnp.float32)
+    dg = jnp.where(g > 0, dh, 0.0)                    # relu', f32 transient
+    dbd_ref[0, 0] = dg.sum(axis=0)
+    dgc = dg.astype(x.dtype)
+
+    dw1_ref[0] = _lax.dot_general(
+        x, dgc, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(dw1_ref.dtype)
+    dx = jnp.dot(dgc, w1_ref[...].T, preferred_element_type=jnp.float32)
+    dx += dy_m.astype(jnp.float32)
+    if d < t:
+        # g[t] consumed x[t-d] via w0 and x[t+d] via w2
+        dw0_ref[0] = _lax.dot_general(
+            x[: t - d], dgc[d:], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dw0_ref.dtype)
+        dw2_ref[0] = _lax.dot_general(
+            x[d:], dgc[: t - d], (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(dw2_ref.dtype)
+        z0b = jnp.dot(dgc[d:], w0_ref[...].T,
+                      preferred_element_type=jnp.float32)
+        dx += jnp.pad(z0b, ((0, d), (0, 0)))          # rows [0, t-d)
+        z2b = jnp.dot(dgc[: t - d], w2_ref[...].T,
+                      preferred_element_type=jnp.float32)
+        dx += jnp.pad(z2b, ((d, 0), (0, 0)))          # rows [d, t)
+    else:
+        dw0_ref[0] = jnp.zeros_like(dw0_ref[0])
+        dw2_ref[0] = jnp.zeros_like(dw2_ref[0])
+    dx_ref[0] = dx.astype(dx_ref.dtype)
+
+
+def bwd_supported(b: int, t: int, c: int, dtype_bytes: int = 4) -> bool:
+    # lane padding makes every [T, C<=128] tile cost T*128 lanes; live set
+    # ~5 f32 tensors (g, dh/dg, dx, tap pads, hash words) + ~5 input-dtype
+    # tensors (x, dy, dy_m/dout2, hc, dgc)
+    cp = max(c, 128)
+    # threshold calibrated on-chip: the bf16 bench shape (T=4096 -> 15.7M
+    # estimate) compiles; the f32 one (21M) exceeds the 16M VMEM and falls
+    # back to autodiff
+    return (5 * t * cp * 4 + 5 * t * cp * dtype_bytes) <= 16 * 1024 * 1024
+
+
+@functools.partial(jax.jit, static_argnames=("dilation", "keep", "interpret"))
+def _layer_bwd_call(w_d, b_d, w_p, x, mask, dy, seed_f32, dilation, keep,
+                    interpret=False):
+    b, t, c = x.shape
+    w0, w1, w2 = w_d[0], w_d[1], w_d[2]
+    wp = w_p[0]
+    seed = lax.bitcast_convert_type(seed_f32, jnp.uint32).reshape(1)
+    dy_m = (dy * jnp.asarray(mask, dy.dtype)).astype(x.dtype)
+    blk = pl.BlockSpec((1, t, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+    sblk = pl.BlockSpec(memory_space=pltpu.SMEM)
+    wspec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    wgrad = pl.BlockSpec((1, c, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    bgrad = pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    f32 = jnp.float32
+    dx, dw0, dw1, dw2, dbd, dwp, dbp = pl.pallas_call(
+        functools.partial(
+            _layer_bwd_kernel, dilation=min(dilation, t), keep=keep,
+            thresh=_threshold(keep), t=t, c=c,
+        ),
+        grid=(b,),
+        in_specs=[sblk, blk, blk, wspec, wspec, wspec, wspec, wspec],
+        out_specs=[blk, wgrad, wgrad, wgrad, bgrad, wgrad, bgrad],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, t, c), x.dtype),
+            jax.ShapeDtypeStruct((b, c, c), f32),
+            jax.ShapeDtypeStruct((b, c, c), f32),
+            jax.ShapeDtypeStruct((b, c, c), f32),
+            jax.ShapeDtypeStruct((b, 1, c), f32),
+            jax.ShapeDtypeStruct((b, c, c), f32),
+            jax.ShapeDtypeStruct((b, 1, c), f32),
+        ],
+        interpret=interpret,
+    )(seed, x, dy_m, w0, w1, w2, b_d, wp)
+    # per-video partials -> parameter grads (dtypes follow the params)
+    dw_d = jnp.stack([dw0.sum(0), dw1.sum(0), dw2.sum(0)]).astype(w_d.dtype)
+    db_d = dbd.sum(axis=(0, 1)).astype(b_d.dtype)
+    dw_p = dwp.sum(0)[None].astype(w_p.dtype)
+    db_p = dbp.sum(axis=(0, 1)).astype(b_d.dtype)
+    return dw_d, db_d, dw_p, db_p, dx
