@@ -113,14 +113,13 @@ def bench_tpu(model_name: str) -> float:
     opt_state = tx.init(params)
     loss = make_loss_fn(model_name, N_CLASS)
 
-    # attn trains in f32: flash softmax accumulators are exactness-sensitive
-    # and the MXU runs bf16 at f32 rate on this part anyway.  ms_tcn follows
-    # DTYPE since round 3: the tap-conv formulation made the step partly
-    # bytes-bound, so bf16 activations now pay +11.6% (tools/ab_mstcn_bf16.py
-    # interleaved A/B; the earlier "no-gain" result was on the conv-op path,
-    # bound by the convolution emitter — docs/PERF_NOTES.md)
-    cd = None if (DTYPE == "float32" or model_name == "attn") \
-        else jnp.dtype(DTYPE)
+    # every config follows DTYPE.  ms_tcn since round 3 (tap convs made the
+    # step bytes-bound: +11.6%, tools/ab_mstcn_bf16.py); attn since round 4
+    # (the old "neutral" A/B predates the Pallas flash kernels — with them
+    # live, bf16 speeds the GRU/glue portion: 8.75 -> 8.05 ms/step, +8.7%,
+    # tools/ab_attn_bf16.py; the flash softmax state stays f32 in-kernel
+    # regardless — docs/PERF_NOTES.md)
+    cd = None if DTYPE == "float32" else jnp.dtype(DTYPE)
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.normal(size=(b, t, 400)).astype(np.float32))
     lengths = jnp.full((b,), t, dtype=jnp.int32)
