@@ -94,16 +94,40 @@ def device_beam_search(
     import jax
     import jax.numpy as jnp
 
-    n, s_max, k = candidates.shape
-    b = beam_size
-    bos, eos = ids[BOS], ids[EOS]
-    neg = jnp.float32(-1e30)
+    global _DECODE_JIT
+    if _DECODE_JIT is None:
+        _DECODE_JIT = jax.jit(_decode, static_argnames=("b", "bos", "eos"))
+    n = candidates.shape[0]
+    hist, best = _DECODE_JIT(
+        jnp.asarray(table), jnp.asarray(candidates, jnp.int32),
+        jnp.asarray(n_segments, jnp.int32),
+        b=beam_size, bos=ids[BOS], eos=ids[EOS],
+    )
+    hist_np = np.asarray(hist)
+    best_np = np.asarray(best)
+    nseg_np = np.asarray(n_segments, dtype=np.int64)
+    out = []
+    for i in range(n):
+        seq = hist_np[i, best_np[i], : nseg_np[i]]
+        out.append([int(t) for t in seq])
+    return out
 
-    table_j = jnp.asarray(table)
-    cand = jnp.asarray(candidates, jnp.int32)              # [N, S, K]
+
+def _decode(table_j, cand, nseg, *, b: int, bos: int, eos: int):
+    """The whole decode as ONE jitted device program.
+
+    Every eager jnp op in the old body was its own device dispatch, and the
+    ~30 ms tunnel dispatch latency times ~10 setup/epilogue ops dominated
+    the decode (the bench's "host-dispatch bound" 60-200 videos/s band).
+    Module-level so the jit cache survives across calls; (N, S_max, K)
+    shapes key it and one eval decodes a single shape."""
+    import jax
+    import jax.numpy as jnp
+
+    n, s_max, k = cand.shape
+    neg = jnp.float32(-1e30)
     cand_valid = cand >= 0
     cand_safe = jnp.where(cand_valid, cand, 0)
-    nseg = jnp.asarray(n_segments, jnp.int32)
 
     # beam state: contexts [N, B, 2], cumulative no-eos scores [N, B],
     # chosen-token history [N, B, S] (ancestry is folded in by gathering the
@@ -155,14 +179,10 @@ def device_beam_search(
     # final ranking includes </s> exactly like lm.score(full prefix)
     final_eos = table_j[ctx[:, :, 0], ctx[:, :, 1], eos]
     best = jnp.argmax(score + final_eos, axis=1)           # [N]
-    hist_np = np.asarray(hist)
-    best_np = np.asarray(best)
-    nseg_np = np.asarray(nseg)
-    out = []
-    for i in range(n):
-        seq = hist_np[i, best_np[i], : nseg_np[i]]
-        out.append([int(t) for t in seq])
-    return out
+    return hist, best
+
+
+_DECODE_JIT = None  # lazily-built module-level jit (cache survives calls)
 
 
 def pack_candidates(

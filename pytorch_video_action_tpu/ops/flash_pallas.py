@@ -58,7 +58,7 @@ from jax import lax
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .hashmask import GOLDEN, fmix32, rng_seed_u32, threshold
+from .hashmask import fmix32, threshold
 
 NEG_INF = -1e30
 
@@ -79,13 +79,6 @@ MXU_BF16 = True
 # query block fits VMEM; the two-kernel split covers longer sequences.
 FUSED_BWD = True
 _FUSED_VMEM_BUDGET = 15 * 1024 * 1024
-
-
-def _key_scalar(rng):
-    """Scalar uint32 mask key — identical derivation to
-    ``flash._block_keep_mask`` so either path regenerates the other's
-    sampled dropout mask."""
-    return fmix32(jnp.uint32(rng_seed_u32(rng)) + jnp.uint32(GOLDEN))
 
 
 def _tile_keep_mask(seed, bh, iq, jkv, *, num_heads, t, t_kv, bq, bkv,
