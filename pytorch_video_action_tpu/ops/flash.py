@@ -154,6 +154,7 @@ def _flash_bwd_pallas(q, k, v, key_mask, rng, out, lse, dout, dropout_rate):
         _pallas_shapes(dout),
         num_heads=h, keep=keep, bq=fp.DEFAULT_BLOCK_Q, bkv=fp.DEFAULT_BLOCK_KV,
         mxu_bf16=fp.MXU_BF16, fused=fp.FUSED_BWD,
+        fused_bkv=fp._FUSED_BKV_OVERRIDE,
         interpret=jax.default_backend() != "tpu",
     )
     dq = dq[..., :d].reshape(b, h, t, d).astype(q.dtype)

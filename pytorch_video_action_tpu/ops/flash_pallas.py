@@ -78,7 +78,34 @@ MXU_BF16 = True
 # Single-pass fused backward (one recompute for dq+dk+dv) when the padded-T
 # query block fits VMEM; the two-kernel split covers longer sequences.
 FUSED_BWD = True
-_FUSED_VMEM_BUDGET = 15 * 1024 * 1024
+# Estimated-live-bytes ceiling for the fused-backward tile choice, calibrated
+# against measured Mosaic allocation at the bench workload (T=4096, d=128,
+# bf16 operands): bkv=256 compiles and runs (and is +31% over 128 —
+# tools/ab_flash_fused_bkv.py), bkv=384 OOMs the 16M scoped vmem at 23.7M.
+# The estimate below (~3 f32 [tq,bkv] tiles + q/dout in the operand dtype +
+# the f32 dq scratch) puts those at 16.8M / 23.0M, so 17M splits them.
+_FUSED_VMEM_BUDGET = 17 * 1024 * 1024
+
+
+def _env_fused_bkv():
+    """PVA_FLASH_FUSED_BKV forces the fused-backward KV tile width (A/B
+    hook: the budget heuristic below conservatively counts q/dout as f32
+    even though MXU_BF16 demotes them, so a wider tile may fit in practice).
+    Must be a positive multiple of 128 (the lane tiling)."""
+    import os
+
+    v = os.environ.get("PVA_FLASH_FUSED_BKV")
+    if v is None:
+        return None
+    n = int(v)
+    if n < 128 or n % 128:
+        raise ValueError(
+            f"PVA_FLASH_FUSED_BKV must be a positive multiple of 128, got {v!r}"
+        )
+    return n
+
+
+_FUSED_BKV_OVERRIDE = _env_fused_bkv()
 
 
 def _tile_keep_mask(seed, bh, iq, jkv, *, num_heads, t, t_kv, bq, bkv,
@@ -440,25 +467,35 @@ def _dq_kernel(seed_ref, mask_ref, k_ref, v_ref, q_ref, dout_ref, lse_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "keep", "bq", "bkv", "mxu_bf16", "fused",
-                     "interpret"),
+                     "fused_bkv", "interpret"),
 )
 def flash_bwd_pallas(q, k, v, mask_f32, seed_u32, lse, delta, dout, *,
                      num_heads, keep=1.0, bq=DEFAULT_BLOCK_Q,
                      bkv=DEFAULT_BLOCK_KV, mxu_bf16=MXU_BF16,
-                     fused=FUSED_BWD, interpret=False):
+                     fused=FUSED_BWD, fused_bkv=None, interpret=False):
     """Flash recompute backward: returns (dq f32, dk, dv) for ``[BH, T, d]``
     inputs.  ``lse``/``delta`` are ``[BH, T]`` f32 (delta = sum(dout*out)).
 
     Prefers the single-pass fused kernel (one recompute for all three
     grads) whenever the whole padded-T query block fits VMEM; falls back
-    to the two-kernel (dk/dv, dq) split for longer sequences."""
+    to the two-kernel (dk/dv, dq) split for longer sequences.  ``fused_bkv``
+    forces the fused kernel's KV tile width, bypassing the VMEM-budget
+    heuristic.  It is a STATIC arg resolved by the caller — the glue in
+    ``ops/flash.py`` passes ``_FUSED_BKV_OVERRIDE`` (the PVA_FLASH_FUSED_BKV
+    env hook) explicitly; reading the global here would freeze it into the
+    first trace and silently ignore later changes."""
     bh_n, t, d = q.shape
     t_kv = k.shape[1]
     if fused:
         tq8 = t + (-t) % 8
-        for bkv_f in (256, 128):  # last dim must tile by 128 lanes
-            # live set: q/dout/dq [tq, d] f32 + ~4 [tq, bkv] f32 tiles
-            if tq8 * (3 * d + 4 * bkv_f) * 4 <= _FUSED_VMEM_BUDGET:
+        candidates = (fused_bkv,) if fused_bkv else (256, 128)
+        opb = 2 if mxu_bf16 else 4  # q/dout live at the operand width
+        for bkv_f in candidates:  # last dim must tile by 128 lanes
+            # estimated live set (see _FUSED_VMEM_BUDGET calibration):
+            # q + dout [tq, d] operand-dtype, dq scratch [tq, d] f32,
+            # ~3 concurrent [tq, bkv] f32 score/grad tiles
+            need = tq8 * ((2 * opb + 4) * d + 12 * bkv_f)
+            if fused_bkv or need <= _FUSED_VMEM_BUDGET:
                 return _bwd_fused_call(
                     q, k, v, mask_f32, seed_u32, lse, delta, dout,
                     num_heads=num_heads, keep=keep, bkv=bkv_f,

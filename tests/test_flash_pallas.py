@@ -105,6 +105,33 @@ def test_flash_pallas_tile_size_invariance(monkeypatch):
                                        atol=2e-4, rtol=1e-3)
 
 
+def test_flash_pallas_fused_bkv_override_invariance(monkeypatch):
+    """Forcing the fused backward's KV tile (``fused_bkv`` / the
+    PVA_FLASH_FUSED_BKV hook) must not change grads: the dropout stream is
+    global-element-index keyed and the dq/dk/dv accumulation is exact at
+    any KV partition."""
+    q, k, v, mask, dout = _data(t=256, d=20)
+    key = jax.random.PRNGKey(5)
+    monkeypatch.setattr(fp, "DEFAULT_BLOCK_Q", 128)
+    monkeypatch.setattr(fp, "DEFAULT_BLOCK_KV", 128)
+    _, g0 = _run(monkeypatch, True, q, k, v, mask, dout, 0.25, key)
+    for width in (128, 256):
+        monkeypatch.setattr(fp, "_FUSED_BKV_OVERRIDE", width)
+        _, g = _run(monkeypatch, True, q, k, v, mask, dout, 0.25, key)
+        for a, b, name in zip(g0, g, "qkv"):
+            np.testing.assert_allclose(
+                np.asarray(b), np.asarray(a), atol=2e-4, rtol=1e-3,
+                err_msg=f"d{name} @ fused_bkv={width}")
+
+
+def test_flash_pallas_fused_bkv_env_validation(monkeypatch):
+    monkeypatch.setenv("PVA_FLASH_FUSED_BKV", "100")
+    with pytest.raises(ValueError, match="PVA_FLASH_FUSED_BKV"):
+        fp._env_fused_bkv()
+    monkeypatch.setenv("PVA_FLASH_FUSED_BKV", "256")
+    assert fp._env_fused_bkv() == 256
+
+
 def test_flash_pallas_masked_rows_zero(monkeypatch):
     """Fully-masked batch rows emit zero output and propagate zero grads
     (the kernel's NEG_INF row-max contract)."""
