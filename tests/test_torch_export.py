@@ -76,15 +76,19 @@ def _export_and_compare(model_name, jd, torch_net, x, lengths, *, state=None,
     np.testing.assert_allclose(out, ref_out, atol=atol, rtol=1e-3)
 
 
+# Keyed by id(jd) BUT the value also pins the jd object itself: without
+# that, a GC'd model from an earlier test can have its id() reused by a new
+# build_model(...) under full-suite memory churn, silently returning the
+# wrong family's params (seen as KeyError 'attention'/'stages' in export).
 _PARAMS_CACHE = {}
 
 
 def jd_params(jd):
     key = id(jd)
-    if key not in _PARAMS_CACHE:
+    if key not in _PARAMS_CACHE or _PARAMS_CACHE[key][0] is not jd:
         init = jd.init(jax.random.PRNGKey(42))
-        _PARAMS_CACHE[key] = init[0] if jd.stateful else init
-    return _PARAMS_CACHE[key]
+        _PARAMS_CACHE[key] = (jd, init[0] if jd.stateful else init)
+    return _PARAMS_CACHE[key][1]
 
 
 def _roundtrip(model_name, jd, params, state=None):
@@ -134,7 +138,7 @@ def test_bilstm_lm_export():
     jd = build_model("bilstm_lm", N_CLASS, lstm_layer=2, lstm_hidden1=64,
                      lstm_hidden2=32, lstm_dropout=0.0)
     params, state = jd.init(jax.random.PRNGKey(42))
-    _PARAMS_CACHE[id(jd)] = params
+    _PARAMS_CACHE[id(jd)] = (jd, params)
     net = ref_nets.BiLSTMWithLM(D, lstm_layer=2, hidden_dim_1=64,
                                 hidden_dim_2=32, n_class=N_CLASS,
                                 dropout_rate=0.0)
