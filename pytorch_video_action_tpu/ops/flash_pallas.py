@@ -78,20 +78,27 @@ MXU_BF16 = True
 # Single-pass fused backward (one recompute for dq+dk+dv) when the padded-T
 # query block fits VMEM; the two-kernel split covers longer sequences.
 FUSED_BWD = True
-# Estimated-live-bytes ceiling for the fused-backward tile choice, calibrated
-# against measured Mosaic allocation at the bench workload (T=4096, d=128,
-# bf16 operands): bkv=256 compiles and runs (and is +31% over 128 —
-# tools/ab_flash_fused_bkv.py), bkv=384 OOMs the 16M scoped vmem at 23.7M.
-# The estimate below (~3 f32 [tq,bkv] tiles + q/dout in the operand dtype +
-# the f32 dq scratch) puts those at 16.8M / 23.0M, so 17M splits them.
-_FUSED_VMEM_BUDGET = 17 * 1024 * 1024
+# The fused backward requests an EXPLICIT scoped-VMEM limit: XLA's default
+# is 16M (a conservative compile-time check, not the hardware — v5e has
+# 128M physical VMEM), and the bkv=256 tile's measured Mosaic stack is
+# 17.54M, which the runtime JIT admitted but the chipless AOT helper (the
+# driver's compile path) rejected.  40M covers bkv up to 512 at the bench
+# workload (T=4096, d=128: estimate below gives 16.8M / 23.0M / 29.1M /
+# 41.4M for 256/384/512/768) while leaving 88M for Mosaic's own
+# double-buffering of the [bkv, d] k/v/dk/dv streams.
+_FUSED_VMEM_LIMIT = 40 * 1024 * 1024
+# Estimated-live-bytes ceiling for the AUTOMATIC tile choice (the estimate:
+# ~3 f32 [tq,bkv] score/grad tiles + q/dout at the operand width + the f32
+# dq scratch).  Sized so the pick stays comfortably under _FUSED_VMEM_LIMIT;
+# PVA_FLASH_FUSED_BKV bypasses it for A/Bs.
+_FUSED_VMEM_BUDGET = 30 * 1024 * 1024
 
 
 def _env_fused_bkv():
-    """PVA_FLASH_FUSED_BKV forces the fused-backward KV tile width (A/B
-    hook: the budget heuristic below conservatively counts q/dout as f32
-    even though MXU_BF16 demotes them, so a wider tile may fit in practice).
-    Must be a positive multiple of 128 (the lane tiling)."""
+    """PVA_FLASH_FUSED_BKV forces the fused-backward KV tile width,
+    bypassing the automatic pick (A/B hook for tile sweeps under the
+    explicit ``_FUSED_VMEM_LIMIT``).  Must be a positive multiple of 128
+    (the lane tiling)."""
     import os
 
     v = os.environ.get("PVA_FLASH_FUSED_BKV")
@@ -424,6 +431,9 @@ def _bwd_fused_call(q, k, v, mask_f32, seed_u32, lse, delta, dout, *,
             jax.ShapeDtypeStruct((bh_n, tk, d), jnp.float32),
         ],
         scratch_shapes=[pltpu.VMEM((tq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=_FUSED_VMEM_LIMIT
+        ),
         interpret=interpret,
     )(seed_u32, mp[:, None, :], qp, dop, lsep[:, None, :],
       deltap[:, None, :], kp, vp)
