@@ -115,6 +115,31 @@ def _env_fused_bkv():
 _FUSED_BKV_OVERRIDE = _env_fused_bkv()
 
 
+def _fused_est(t: int, d: int, bkv: int, mxu_bf16: bool) -> int:
+    """Estimated live VMEM bytes of the fused backward at KV tile ``bkv``:
+    q + dout [tq, d] at the operand width, the f32 dq scratch [tq, d], and
+    ~3 concurrent [tq, bkv] f32 score/grad tiles.  Calibrated vs measured
+    Mosaic stack at the bench workload (estimate 16.78M -> measured 17.54M,
+    ~1.05x); ``tests/test_flash_pallas.py`` pins estimate*1.3 <=
+    _FUSED_VMEM_LIMIT for every shape the auto-pick admits."""
+    tq8 = t + (-t) % 8
+    opb = 2 if mxu_bf16 else 4
+    return tq8 * ((2 * opb + 4) * d + 12 * bkv)
+
+
+def _fused_pick(t: int, d: int, mxu_bf16: bool, fused_bkv=None):
+    """KV tile width for the fused single-pass backward, or None when no
+    candidate's estimated live set fits the auto budget (the caller then
+    uses the two-kernel split).  ``fused_bkv`` (PVA_FLASH_FUSED_BKV)
+    bypasses the budget — A/B hook, compile may legitimately OOM."""
+    if fused_bkv:
+        return fused_bkv
+    for bkv in (256, 128):  # last dim must tile by 128 lanes
+        if _fused_est(t, d, bkv, mxu_bf16) <= _FUSED_VMEM_BUDGET:
+            return bkv
+    return None
+
+
 def _tile_keep_mask(seed, bh, iq, jkv, *, num_heads, t, t_kv, bq, bkv,
                     thresh):
     """[bq, bkv] bool keep-mask for the score tile whose rows start at global
@@ -497,20 +522,13 @@ def flash_bwd_pallas(q, k, v, mask_f32, seed_u32, lse, delta, dout, *,
     bh_n, t, d = q.shape
     t_kv = k.shape[1]
     if fused:
-        tq8 = t + (-t) % 8
-        candidates = (fused_bkv,) if fused_bkv else (256, 128)
-        opb = 2 if mxu_bf16 else 4  # q/dout live at the operand width
-        for bkv_f in candidates:  # last dim must tile by 128 lanes
-            # estimated live set (see _FUSED_VMEM_BUDGET calibration):
-            # q + dout [tq, d] operand-dtype, dq scratch [tq, d] f32,
-            # ~3 concurrent [tq, bkv] f32 score/grad tiles
-            need = tq8 * ((2 * opb + 4) * d + 12 * bkv_f)
-            if fused_bkv or need <= _FUSED_VMEM_BUDGET:
-                return _bwd_fused_call(
-                    q, k, v, mask_f32, seed_u32, lse, delta, dout,
-                    num_heads=num_heads, keep=keep, bkv=bkv_f,
-                    mxu_bf16=mxu_bf16, interpret=interpret,
-                )
+        bkv_f = _fused_pick(t, d, mxu_bf16, fused_bkv)
+        if bkv_f is not None:
+            return _bwd_fused_call(
+                q, k, v, mask_f32, seed_u32, lse, delta, dout,
+                num_heads=num_heads, keep=keep, bkv=bkv_f,
+                mxu_bf16=mxu_bf16, interpret=interpret,
+            )
     bq_ = min(bq, t)
     bkv_ = min(bkv, t_kv)
     qp = _pad_to(q, 1, bq_)

@@ -182,3 +182,24 @@ def test_flash_pallas_mxu_bf16_operands_close_to_f32(monkeypatch):
     for a, b, name in zip(g_32, g_16, "qkv"):
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    atol=3e-1, rtol=5e-2, err_msg=f"d{name}")
+
+
+def test_fused_pick_stays_under_vmem_limit():
+    """Every KV tile the AUTO pick admits must fit the kernel's explicit
+    scoped-VMEM request with margin: the measured Mosaic stack runs ~1.05x
+    the estimate (16.78M est -> 17.54M measured at the bench shape), so we
+    require estimate*1.3 <= _FUSED_VMEM_LIMIT.  Guards against budget/limit
+    drift reintroducing the AOT-compile OOM that a runtime-JIT A/B admits
+    (the round-4 regression: default-16M scoped limit vs 17.54M stack)."""
+    for t in (256, 1024, 2048, 4096, 8192, 16384, 65536):
+        for d in (64, 128, 256):
+            for bf16 in (True, False):
+                pick = fp._fused_pick(t, d, bf16)
+                if pick is None:
+                    continue
+                est = fp._fused_est(t, d, pick, bf16)
+                assert est * 1.3 <= fp._FUSED_VMEM_LIMIT, (t, d, bf16, pick)
+    # the bench workload must keep the tuned 256-wide tile (the +31% pick)
+    assert fp._fused_pick(4096, 128, True) == 256
+    # very long T falls out of the fused form entirely (two-kernel split)
+    assert fp._fused_pick(65536, 128, True) is None
