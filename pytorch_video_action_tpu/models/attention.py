@@ -67,6 +67,66 @@ def blockwise_self_attention(q, k, v, key_mask):
     return flash_self_attention(q, k, v, key_mask, 0.0, None, BLOCKWISE_BLOCK)
 
 
+def _use_bthd() -> bool:
+    """Route long sequences through the head-major flat ``[B, T, H*128]``
+    flash path (``PVA_FLASH_BTHD=1``): the lane pad and 1/sqrt(head_dim)
+    scale fold into the projection weights and the kernels read each head's
+    column slab in place via their block index maps, so the glue carries
+    ZERO transposes and ZERO activation pads.  MEASURED NEUTRAL on the
+    bench config (train +0.2%, eval -0.4% — tools/ab_attn_bthd.py; XLA
+    already keeps the layout copies off the critical path), so it stays
+    opt-in; kept grad-exact + equivalence-tested as the escape hatch for
+    shapes where the copies do bite.  Read at trace time."""
+    import os
+
+    return os.environ.get("PVA_FLASH_BTHD") == "1"
+
+
+def _mha_flash_bthd(p, x, num_heads, *, key_mask, rate, rng):
+    """Packed qkv projection with the per-head lane pad (head_dim -> next
+    128 multiple) and the query 1/sqrt(head_dim) scale FOLDED into the
+    weights: zero pad lanes are exact through every matmul (QK adds zero
+    products, PV emits zero columns, the padded out-proj rows are zero) and
+    receive zero gradients, so autodiff through the fold is exact.  The
+    kernels read each head's 128-wide column slab of the flat
+    ``[B, T, H*128]`` projection output in place — no transpose or pad ever
+    touches a ``[B, T, E]``-sized tensor."""
+    from ..ops.flash import flash_self_attention_bthd
+
+    b, t, e = x.shape
+    hd = e // num_heads
+    dp = (128 - hd % 128) % 128
+    hdp = hd + dp
+    wq, wk, wv = jnp.split(p["in_proj_w"], 3, axis=1)
+    bq, bk, bv = jnp.split(p["in_proj_b"], 3)
+    scale = (1.0 / jnp.sqrt(hd)).astype(p["in_proj_w"].dtype)
+
+    def fold(w, b_, s=None):
+        w = w.reshape(e, num_heads, hd)
+        b_ = b_.reshape(num_heads, hd)
+        if s is not None:
+            w, b_ = w * s, b_ * s
+        if dp:
+            w = jnp.pad(w, ((0, 0), (0, 0), (0, dp)))
+            b_ = jnp.pad(b_, ((0, 0), (0, dp)))
+        return w.reshape(e, num_heads * hdp), b_.reshape(num_heads * hdp)
+
+    wq_, bq_ = fold(wq, bq, scale)
+    wk_, bk_ = fold(wk, bk)
+    wv_, bv_ = fold(wv, bv)
+    qkv = x @ jnp.concatenate([wq_, wk_, wv_], axis=1) + jnp.concatenate(
+        [bq_, bk_, bv_]
+    )
+    q, k, v = jnp.split(qkv, 3, axis=-1)  # [B, T, H*hdp] head-major flat
+    out = flash_self_attention_bthd(
+        q, k, v, key_mask, num_heads, rate, rng if rate > 0.0 else None
+    )  # [B, T, H*hdp]
+    wo = p["out_proj_w"].reshape(num_heads, hd, e)
+    if dp:
+        wo = jnp.pad(wo, ((0, 0), (0, dp), (0, 0)))
+    return out @ wo.reshape(num_heads * hdp, e) + p["out_proj_b"]
+
+
 def mha_self_attention(
     p: dict,
     x: jax.Array,
@@ -81,6 +141,18 @@ def mha_self_attention(
     Long sequences at eval use the blockwise form (memory O(T*BLOCK))."""
     b, t, e = x.shape
     hd = e // num_heads
+    if t >= BLOCKWISE_MIN_T:
+        from ..ops.flash import _use_pallas
+
+        mask = (
+            key_mask if key_mask is not None
+            else jnp.ones((b, t), dtype=bool)
+        )
+        rate = dropout_rate if (train and rng is not None) else 0.0
+        if _use_pallas() and _use_bthd():
+            return _mha_flash_bthd(
+                p, x, num_heads, key_mask=mask, rate=rate, rng=rng
+            )
     qkv = x @ p["in_proj_w"] + p["in_proj_b"]
     q, k, v = jnp.split(qkv, 3, axis=-1)
 
@@ -91,11 +163,6 @@ def mha_self_attention(
     if t >= BLOCKWISE_MIN_T:
         from ..ops.flash import flash_self_attention
 
-        mask = (
-            key_mask if key_mask is not None
-            else jnp.ones((b, t), dtype=bool)
-        )
-        rate = dropout_rate if (train and rng is not None) else 0.0
         out = flash_self_attention(
             q, k, v, mask, rate, rng if rate > 0.0 else None, BLOCKWISE_BLOCK
         )

@@ -355,3 +355,79 @@ def _flash_vjp_bwd(dropout_rate, block, res, dout):
 
 
 flash_self_attention.defvjp(_flash_vjp_fwd, _flash_vjp_bwd)
+
+
+# ------------------------------------------------------- head-major layout
+
+
+def _bthd_fwd(q, k, v, key_mask, num_heads, dropout_rate, rng):
+    from . import flash_pallas as fp
+
+    use_dropout = dropout_rate > 0.0 and rng is not None
+    keep = 1.0 - dropout_rate if use_dropout else 1.0
+    out, lse = fp.flash_fwd_pallas(
+        q, k, v, key_mask.astype(jnp.float32), _pallas_seed(rng, use_dropout),
+        num_heads=num_heads, keep=keep, bq=fp.DEFAULT_BLOCK_Q,
+        bkv=fp.DEFAULT_BLOCK_KV, mxu_bf16=fp.MXU_BF16, bthd=True,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return out, lse  # lse [BH, T] f32
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def flash_self_attention_bthd(q, k, v, key_mask, num_heads,
+                              dropout_rate=0.0, rng=None):
+    """``flash_self_attention`` on the head-major FLAT ``[B, T, H*d]``
+    layout — the shape that falls straight out of a packed qkv projection,
+    so the caller never materializes the ``[B, H, T, d]`` transpose (or its
+    inverse on the output / gradients); the kernels' block index maps carve
+    each head's d-wide column slab in place.  The per-head width
+    ``d = last_dim / num_heads`` must already be a 128 multiple: callers
+    fold the lane pad and the 1/sqrt(head_dim) scale into the projection
+    weights (zero pad lanes are exact through every matmul and receive zero
+    gradients).  Pallas-only: callers route here when
+    ``ops.flash._use_pallas()`` is true; the kernels, tiles, and dropout
+    stream are identical to the ``[B, H, T, d]`` path (same global
+    ``[B, H, T, T_kv]`` element-index hash), so the two layouts sample the
+    same mask and agree to f32 tolerance.
+
+    Reference semantics: ``/root/reference/networks.py:186-203``
+    (``nn.MultiheadAttention`` over whole videos, post-softmax dropout).
+    """
+    out, _ = _bthd_fwd(q, k, v, key_mask, num_heads, dropout_rate, rng)
+    return out
+
+
+def _bthd_vjp_fwd(q, k, v, key_mask, num_heads, dropout_rate, rng):
+    out, lse = _bthd_fwd(q, k, v, key_mask, num_heads, dropout_rate, rng)
+    return out, (q, k, v, key_mask, rng, out, lse)
+
+
+def _bthd_vjp_bwd(num_heads, dropout_rate, res, dout):
+    from . import flash_pallas as fp
+
+    q, k, v, key_mask, rng, out, lse = res
+    b, t, hd_all = q.shape
+    d = hd_all // num_heads
+    use_dropout = dropout_rate > 0.0 and rng is not None
+    keep = 1.0 - dropout_rate if use_dropout else 1.0
+    # delta [B, T, H] -> [BH, T]: a tiny f32 transpose (vs the [B, T, H*d]
+    # tensors the bthd layout keeps transpose-free)
+    delta = jnp.sum(
+        (dout.astype(jnp.float32) * out.astype(jnp.float32)).reshape(
+            b, t, num_heads, d
+        ), axis=-1,
+    ).transpose(0, 2, 1).reshape(b * num_heads, t)
+    dq, dk, dv = fp.flash_bwd_pallas(
+        q, k, v, key_mask.astype(jnp.float32), _pallas_seed(rng, use_dropout),
+        lse, delta, dout,
+        num_heads=num_heads, keep=keep, bq=fp.DEFAULT_BLOCK_Q,
+        bkv=fp.DEFAULT_BLOCK_KV, mxu_bf16=fp.MXU_BF16, fused=fp.FUSED_BWD,
+        fused_bkv=fp._FUSED_BKV_OVERRIDE, bthd=True,
+        interpret=jax.default_backend() != "tpu",
+    )
+    return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+            None, None)
+
+
+flash_self_attention_bthd.defvjp(_bthd_vjp_fwd, _bthd_vjp_bwd)

@@ -224,20 +224,42 @@ def _pad_to(x, axis, mult):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("num_heads", "keep", "bq", "bkv", "mxu_bf16",
+    static_argnames=("num_heads", "keep", "bq", "bkv", "mxu_bf16", "bthd",
                      "interpret"),
 )
 def flash_fwd_pallas(q, k, v, mask_f32, seed_u32, *, num_heads, keep=1.0,
                      bq=DEFAULT_BLOCK_Q, bkv=DEFAULT_BLOCK_KV,
-                     mxu_bf16=MXU_BF16, interpret=False):
+                     mxu_bf16=MXU_BF16, bthd=False, interpret=False):
     """Query/KV-tiled flash forward.
 
     q/k/v ``[BH, T, d]`` (q pre-scaled; d padded to a lane multiple by the
     caller), mask_f32 ``[B, T_kv]`` (1.0 attendable), seed_u32 ``[1]``.
     Returns ``out [BH, T, d]`` (input dtype) and ``lse [BH, T]`` f32.
+
+    ``bthd=True`` switches the q/k/v/out layout to head-major FLAT
+    ``[B, T, H*d]`` — the natural shape straight out of the packed qkv
+    projection (d = per-head width, a 128 multiple).  Each head's d-wide
+    column slab is carved out by the BlockSpec index maps (the last-dim
+    BLOCK index is ``bh % H``), so the glue never materializes a
+    ``[B, H, T, d]`` transpose; the same grid/tiles/dropout stream run
+    either way and ``lse`` stays ``[BH, T]``.  (A 4D ``[B, T, H, d]`` form
+    is NOT expressible: Mosaic requires the last two block dims divisible
+    by (8, 128), which a singleton head block violates.)
     """
-    bh_n, t, d = q.shape
-    t_kv = k.shape[1]
+    if bthd:
+        b_n, t, hd_all = q.shape
+        h_n = num_heads
+        d = hd_all // h_n
+        if hd_all % h_n or d % 128:
+            raise ValueError(
+                f"bthd layout needs [B, T, H*d] with d a 128 multiple, got "
+                f"{q.shape} for {h_n} heads"
+            )
+        bh_n = b_n * h_n
+        t_kv = k.shape[1]
+    else:
+        bh_n, t, d = q.shape
+        t_kv = k.shape[1]
     bq_ = min(bq, t)
     bkv_ = min(bkv, t_kv)
     qp = _pad_to(q, 1, bq_)
@@ -256,6 +278,22 @@ def flash_fwd_pallas(q, k, v, mask_f32, seed_u32, *, num_heads, keep=1.0,
         _fwd_kernel, nkv=nkv, bq=bq_, bkv=bkv_, t=t, t_kv=t_kv,
         num_heads=num_heads, keep=keep, thresh=threshold(keep),
     )
+    if bthd:
+        q_spec = pl.BlockSpec(
+            (1, bq_, d), lambda bh, i, j: (bh // num_heads, i,
+                                           bh % num_heads),
+            memory_space=pltpu.VMEM)
+        kv_spec = pl.BlockSpec(
+            (1, bkv_, d), lambda bh, i, j: (bh // num_heads, j,
+                                            bh % num_heads),
+            memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((b_n, tq, hd_all), qp.dtype)
+    else:
+        q_spec = pl.BlockSpec((1, bq_, d), lambda bh, i, j: (bh, i, 0),
+                              memory_space=pltpu.VMEM)
+        kv_spec = pl.BlockSpec((1, bkv_, d), lambda bh, i, j: (bh, j, 0),
+                               memory_space=pltpu.VMEM)
+        out_shape = jax.ShapeDtypeStruct((bh_n, tq, d), qp.dtype)
     out, lse = pl.pallas_call(
         kern,
         grid=(bh_n, nq, nkv),
@@ -264,21 +302,17 @@ def flash_fwd_pallas(q, k, v, mask_f32, seed_u32, *, num_heads, keep=1.0,
             pl.BlockSpec((1, 1, bkv_),
                          lambda bh, i, j: (bh // num_heads, 0, j),
                          memory_space=pltpu.VMEM),                    # mask
-            pl.BlockSpec((1, bq_, d), lambda bh, i, j: (bh, i, 0),
-                         memory_space=pltpu.VMEM),                    # q
-            pl.BlockSpec((1, bkv_, d), lambda bh, i, j: (bh, j, 0),
-                         memory_space=pltpu.VMEM),                    # k
-            pl.BlockSpec((1, bkv_, d), lambda bh, i, j: (bh, j, 0),
-                         memory_space=pltpu.VMEM),                    # v
+            q_spec,                                                   # q
+            kv_spec,                                                  # k
+            kv_spec,                                                  # v
         ],
         out_specs=[
-            pl.BlockSpec((1, bq_, d), lambda bh, i, j: (bh, i, 0),
-                         memory_space=pltpu.VMEM),
+            q_spec,
             pl.BlockSpec((1, 1, bq_), lambda bh, i, j: (bh, 0, i),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((bh_n, tq, d), qp.dtype),
+            out_shape,
             jax.ShapeDtypeStruct((bh_n, 1, tq), jnp.float32),
         ],
         scratch_shapes=[
@@ -392,13 +426,23 @@ def _bwd_fused_kernel(seed_ref, mask_ref, q_ref, dout_ref, lse_ref,
 
 
 def _bwd_fused_call(q, k, v, mask_f32, seed_u32, lse, delta, dout, *,
-                    num_heads, keep, bkv, mxu_bf16, interpret):
+                    num_heads, keep, bkv, mxu_bf16, interpret, bthd=False):
     orig_dtype = (q.dtype, k.dtype, v.dtype)
     """Single-pass fused backward launch: grid (BH, nkv), whole padded-T
     query block resident.  Padded query rows are neutralized by the lse
-    guard (p -> exp(-BIG) == 0) exactly like the two-kernel path."""
-    bh_n, t, d = q.shape
-    t_kv = k.shape[1]
+    guard (p -> exp(-BIG) == 0) exactly like the two-kernel path.
+    ``bthd`` switches q/dout/k/v and dq/dk/dv to the head-major flat
+    ``[B, T, H*d]`` layout via the block index maps (lse/delta stay
+    ``[BH, T]``)."""
+    if bthd:
+        b_n, t, hd_all = q.shape
+        h_n = num_heads
+        d = hd_all // h_n
+        bh_n = b_n * h_n
+        t_kv = k.shape[1]
+    else:
+        bh_n, t, d = q.shape
+        t_kv = k.shape[1]
     qp = _pad_to(q, 1, 8)
     dop = _pad_to(dout, 1, 8)
     lsep = _pad_to(lse, 1, 8)
@@ -422,6 +466,24 @@ def _bwd_fused_call(q, k, v, mask_f32, seed_u32, lse, delta, dout, *,
         num_heads=num_heads, keep=keep, thresh=threshold(keep),
     )
     seed_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    if bthd:
+        q_spec = pl.BlockSpec(
+            (1, tq, d), lambda bh, j: (bh // num_heads, 0,
+                                       bh % num_heads),
+            memory_space=pltpu.VMEM)
+        kv_spec = pl.BlockSpec(
+            (1, bkv_, d), lambda bh, j: (bh // num_heads, j,
+                                         bh % num_heads),
+            memory_space=pltpu.VMEM)
+        dq_shape = jax.ShapeDtypeStruct((b_n, tq, hd_all), jnp.float32)
+        dkv_shape = jax.ShapeDtypeStruct((b_n, tk, hd_all), jnp.float32)
+    else:
+        q_spec = pl.BlockSpec((1, tq, d), lambda bh, j: (bh, 0, 0),
+                              memory_space=pltpu.VMEM)
+        kv_spec = pl.BlockSpec((1, bkv_, d), lambda bh, j: (bh, j, 0),
+                               memory_space=pltpu.VMEM)
+        dq_shape = jax.ShapeDtypeStruct((bh_n, tq, d), jnp.float32)
+        dkv_shape = jax.ShapeDtypeStruct((bh_n, tk, d), jnp.float32)
     dq, dk, dv = pl.pallas_call(
         kern,
         grid=(bh_n, nkv),
@@ -429,32 +491,21 @@ def _bwd_fused_call(q, k, v, mask_f32, seed_u32, lse, delta, dout, *,
             seed_spec,
             pl.BlockSpec((1, 1, bkv_), lambda bh, j: (bh // num_heads, 0, j),
                          memory_space=pltpu.VMEM),                    # mask
-            pl.BlockSpec((1, tq, d), lambda bh, j: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),                    # q
-            pl.BlockSpec((1, tq, d), lambda bh, j: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),                    # dout
+            q_spec,                                                   # q
+            q_spec,                                                   # dout
             pl.BlockSpec((1, 1, tq), lambda bh, j: (bh, 0, 0),
                          memory_space=pltpu.VMEM),                    # lse
             pl.BlockSpec((1, 1, tq), lambda bh, j: (bh, 0, 0),
                          memory_space=pltpu.VMEM),                    # delta
-            pl.BlockSpec((1, bkv_, d), lambda bh, j: (bh, j, 0),
-                         memory_space=pltpu.VMEM),                    # k
-            pl.BlockSpec((1, bkv_, d), lambda bh, j: (bh, j, 0),
-                         memory_space=pltpu.VMEM),                    # v
+            kv_spec,                                                  # k
+            kv_spec,                                                  # v
         ],
         out_specs=[
-            pl.BlockSpec((1, tq, d), lambda bh, j: (bh, 0, 0),
-                         memory_space=pltpu.VMEM),                    # dq
-            pl.BlockSpec((1, bkv_, d), lambda bh, j: (bh, j, 0),
-                         memory_space=pltpu.VMEM),                    # dk
-            pl.BlockSpec((1, bkv_, d), lambda bh, j: (bh, j, 0),
-                         memory_space=pltpu.VMEM),                    # dv
+            q_spec,                                                   # dq
+            kv_spec,                                                  # dk
+            kv_spec,                                                  # dv
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((bh_n, tq, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh_n, tk, d), jnp.float32),
-            jax.ShapeDtypeStruct((bh_n, tk, d), jnp.float32),
-        ],
+        out_shape=[dq_shape, dkv_shape, dkv_shape],
         scratch_shapes=[pltpu.VMEM((tq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_FUSED_VMEM_LIMIT
@@ -502,12 +553,13 @@ def _dq_kernel(seed_ref, mask_ref, k_ref, v_ref, q_ref, dout_ref, lse_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("num_heads", "keep", "bq", "bkv", "mxu_bf16", "fused",
-                     "fused_bkv", "interpret"),
+                     "fused_bkv", "bthd", "interpret"),
 )
 def flash_bwd_pallas(q, k, v, mask_f32, seed_u32, lse, delta, dout, *,
                      num_heads, keep=1.0, bq=DEFAULT_BLOCK_Q,
                      bkv=DEFAULT_BLOCK_KV, mxu_bf16=MXU_BF16,
-                     fused=FUSED_BWD, fused_bkv=None, interpret=False):
+                     fused=FUSED_BWD, fused_bkv=None, bthd=False,
+                     interpret=False):
     """Flash recompute backward: returns (dq f32, dk, dv) for ``[BH, T, d]``
     inputs.  ``lse``/``delta`` are ``[BH, T]`` f32 (delta = sum(dout*out)).
 
@@ -518,17 +570,48 @@ def flash_bwd_pallas(q, k, v, mask_f32, seed_u32, lse, delta, dout, *,
     heuristic.  It is a STATIC arg resolved by the caller — the glue in
     ``ops/flash.py`` passes ``_FUSED_BKV_OVERRIDE`` (the PVA_FLASH_FUSED_BKV
     env hook) explicitly; reading the global here would freeze it into the
-    first trace and silently ignore later changes."""
-    bh_n, t, d = q.shape
-    t_kv = k.shape[1]
+    first trace and silently ignore later changes.
+
+    ``bthd=True`` takes q/k/v/dout head-major flat ``[B, T, H*d]`` and
+    returns dq/dk/dv in the same layout (lse/delta stay ``[BH, T]``); only
+    the fused form reads it natively."""
+    if bthd:
+        b_n, t, hd_all = q.shape
+        h_n = num_heads
+        d = hd_all // h_n
+        t_kv = k.shape[1]
+    else:
+        bh_n, t, d = q.shape
+        t_kv = k.shape[1]
     if fused:
         bkv_f = _fused_pick(t, d, mxu_bf16, fused_bkv)
         if bkv_f is not None:
             return _bwd_fused_call(
                 q, k, v, mask_f32, seed_u32, lse, delta, dout,
                 num_heads=num_heads, keep=keep, bkv=bkv_f,
-                mxu_bf16=mxu_bf16, interpret=interpret,
+                mxu_bf16=mxu_bf16, interpret=interpret, bthd=bthd,
             )
+    if bthd:
+        # head-major long-T fallback: the two-kernel split only engages
+        # where the fused live set no longer fits (far beyond the bench
+        # regime), so it transposes to [BH, T, d] and back rather than
+        # carrying a third layout through both split kernels
+        def merge(a):  # [B, T, H*d] -> [BH, T, d]
+            t_len = a.shape[1]
+            return a.reshape(b_n, t_len, h_n, d).transpose(0, 2, 1, 3) \
+                    .reshape(b_n * h_n, t_len, d)
+
+        dq, dk, dv = flash_bwd_pallas(
+            merge(q), merge(k), merge(v), mask_f32, seed_u32, lse, delta,
+            merge(dout), num_heads=num_heads, keep=keep, bq=bq, bkv=bkv,
+            mxu_bf16=mxu_bf16, fused=False, interpret=interpret,
+        )
+
+        def split(a, t_len):  # [BH, T, d] -> [B, T, H*d]
+            return a.reshape(b_n, h_n, t_len, d).transpose(0, 2, 1, 3) \
+                    .reshape(b_n, t_len, hd_all)
+
+        return split(dq, t), split(dk, t_kv), split(dv, t_kv)
     bq_ = min(bq, t)
     bkv_ = min(bkv, t_kv)
     qp = _pad_to(q, 1, bq_)

@@ -203,3 +203,75 @@ def test_fused_pick_stays_under_vmem_limit():
     assert fp._fused_pick(4096, 128, True) == 256
     # very long T falls out of the fused form entirely (two-kernel split)
     assert fp._fused_pick(65536, 128, True) is None
+
+
+@pytest.mark.parametrize("rate", [0.0, 0.25])
+@pytest.mark.parametrize("fused", [True, False])  # fused / split-fallback bwd
+def test_flash_bthd_layout_matches_bhtd(monkeypatch, rate, fused):
+    """The head-major flat [B, T, H*d] entry point must reproduce the
+    [B, H, T, d] path bit-for-bit in what it samples (same global-index
+    dropout stream) and to float tolerance in values/grads — the kernels
+    and tiles are identical, only the BlockSpec index maps differ."""
+    monkeypatch.setattr(fp, "DEFAULT_BLOCK_Q", 128)
+    monkeypatch.setattr(fp, "DEFAULT_BLOCK_KV", 128)
+    monkeypatch.setattr(fp, "FUSED_BWD", fused)
+    monkeypatch.setenv("PVA_FLASH_PALLAS", "1")
+    b, h, t, d = 2, 2, 200, 128
+    q, k, v, mask, dout = _data(b=b, h=h, t=t, d=d)
+    key = jax.random.PRNGKey(7) if rate else None
+
+    def f_bhtd(q, k, v):
+        return flash.flash_self_attention(q, k, v, mask, rate, key, 64)
+
+    def f_bthd(qt, kt, vt):
+        return flash.flash_self_attention_bthd(qt, kt, vt, mask, h, rate, key)
+
+    o0, vjp0 = jax.vjp(f_bhtd, q, k, v)
+    g0 = vjp0(dout)
+    tr = lambda a: a.transpose(0, 2, 1, 3).reshape(b, t, h * d)
+    untr = lambda a: a.reshape(b, t, h, d).transpose(0, 2, 1, 3)
+    o1, vjp1 = jax.vjp(f_bthd, tr(q), tr(k), tr(v))
+    g1 = vjp1(tr(dout))
+    np.testing.assert_allclose(np.asarray(untr(o1)), np.asarray(o0),
+                               atol=5e-5, rtol=1e-4)
+    for a, b_, name in zip(g0, g1, "qkv"):
+        np.testing.assert_allclose(np.asarray(untr(b_)), np.asarray(a),
+                                   atol=2e-4, rtol=1e-3, err_msg=f"d{name}")
+
+
+@pytest.mark.parametrize("train", [False, True])
+def test_mha_bthd_folded_projection_equivalence(monkeypatch, train):
+    """Model-level: the folded head-major projection (pad + 1/sqrt(hd)
+    scale inside the weights, zero transposes) must match the standard
+    heads()-transpose flash path — forward and parameter gradients."""
+    import pytorch_video_action_tpu.models.attention as A
+
+    monkeypatch.setattr(fp, "DEFAULT_BLOCK_Q", 128)
+    monkeypatch.setattr(fp, "DEFAULT_BLOCK_KV", 128)
+    monkeypatch.setattr(A, "BLOCKWISE_MIN_T", 64)
+    monkeypatch.setenv("PVA_FLASH_PALLAS", "1")
+    rng = np.random.default_rng(5)
+    b, t, e, h = 2, 160, 16, 2  # hd=8 -> pads to 128 lanes
+    x = jnp.asarray(rng.normal(size=(b, t, e)).astype(np.float32))
+    mask = jnp.asarray(np.arange(t)[None, :] < np.array([[t], [t - 37]]))
+    p = A.init_mha(jax.random.PRNGKey(0), e)
+    key = jax.random.PRNGKey(3)
+
+    def run(p, x):
+        return A.mha_self_attention(
+            p, x, h, key_mask=mask, dropout_rate=0.3 if train else 0.0,
+            train=train, rng=key,
+        ).sum()
+
+    outs, grads = [], []
+    for flag in ("0", "1"):
+        monkeypatch.setenv("PVA_FLASH_BTHD", flag)
+        val, g = jax.value_and_grad(run, argnums=(0, 1))(p, x)
+        outs.append(np.asarray(val))
+        grads.append(g)
+    np.testing.assert_allclose(outs[1], outs[0], atol=5e-4, rtol=1e-4)
+    flat0 = jax.tree_util.tree_leaves_with_path(grads[0])
+    flat1 = jax.tree_util.tree_leaves(grads[1])
+    for (path, a), b in zip(flat0, flat1):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   atol=5e-4, rtol=1e-3, err_msg=str(path))
