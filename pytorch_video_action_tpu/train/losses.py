@@ -19,12 +19,25 @@ from .. import TARGET_PAD
 
 
 def nll_loss(log_probs: jax.Array, targets: jax.Array) -> jax.Array:
-    """NLLLoss(ignore_index=-1): inputs ``[N, C]`` log-probs, ``[N]`` targets."""
+    """NLLLoss(ignore_index=-1): inputs ``[N, C]`` log-probs, ``[N]`` targets.
+
+    The target pick is a one-hot masked SUM, not ``take_along_axis``: TPUs
+    run row gathers near-serially — the gather fusion measured 0.54 ms of
+    the 5.86 ms bigru train step for touching 1 MB (trace source
+    ``jvp(take_along_axis)/gather``, docs/PERF_NOTES.md round 4) — while
+    the one-hot compare+select+reduce is a single VPU sweep over ``[N, C]``
+    that fuses with the upstream log-softmax, and its VJP is a broadcast
+    multiply instead of a scatter (so the backward is gather-free too).
+    """
     log_probs = log_probs.reshape(-1, log_probs.shape[-1])
     targets = targets.reshape(-1)
     valid = targets != TARGET_PAD
     safe_t = jnp.where(valid, targets, 0)
-    picked = jnp.take_along_axis(log_probs, safe_t[:, None], axis=1)[:, 0]
+    hot = (
+        jnp.arange(log_probs.shape[-1], dtype=safe_t.dtype)[None, :]
+        == safe_t[:, None]
+    )
+    picked = jnp.where(hot, log_probs, 0.0).sum(axis=-1)
     picked = jnp.where(valid, picked, 0.0)
     count = jnp.maximum(valid.sum(), 1)
     return -picked.sum() / count
