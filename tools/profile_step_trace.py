@@ -49,7 +49,7 @@ def main(argv=None):
 
     bench_shapes = {
         "bigru": (64, 1024, True), "bilstm": (64, 1024, True),
-        "ms_tcn": (8, 4096, True), "attn": (4, 4096, False),
+        "ms_tcn": (8, 4096, True), "attn": (4, 4096, True),
     }
     b, t, bf16 = bench_shapes[args.model]
     b, t = (args.b or b), (args.t or t)
@@ -125,6 +125,7 @@ def main(argv=None):
             tids[(e["pid"], e["tid"])] = e["args"].get("name", "")
     dur = defaultdict(float)
     cnt = defaultdict(int)
+    meta = {}
     total = 0.0
     for e in events:
         if e.get("ph") != "X":
@@ -139,12 +140,25 @@ def main(argv=None):
         dur[e["name"]] += d
         cnt[e["name"]] += 1
         total += d
+        # trace events carry HLO metadata: long_name (full HLO op text),
+        # source (file:line), tf_op (jax op path) — this attribution found
+        # the NLL take_along_axis gather (docs/PERF_NOTES.md).
+        a = e.get("args") or {}
+        if e["name"] not in meta and a:
+            meta[e["name"]] = a
     per_step = args.steps
     print(f"# device XLA-op time: {total:.3f} ms over {per_step} steps "
           f"({total / per_step:.3f} ms/step)  [{traces[-1]}]")
     for name in sorted(dur, key=dur.get, reverse=True)[:args.top]:
         print(f"{dur[name] / per_step:8.4f} ms/step  x{cnt[name] // per_step:<4d}"
               f" {name[:110]}")
+        a = meta.get(name) or {}
+        src, tf_op = a.get("source", ""), a.get("tf_op", "")
+        long_name = a.get("long_name", "")
+        if src or tf_op:
+            print(f"           src={src}  op={tf_op[:90]}")
+        if long_name and long_name != name:
+            print(f"           hlo={long_name[:160]}")
 
 
 if __name__ == "__main__":
