@@ -76,7 +76,53 @@ def init(rng, cfg: MSTCNConfig) -> dict:
     return {"stages": stages}
 
 
+def _pack2_eligible(x, cfg) -> bool:
+    """Frame-pair packing (ops/conv.py PACK2) applies when the tap
+    formulation is on, T is even, and no escape-hatch layer impl
+    (fused-bwd / packed-bwd / explicit Pallas stage) was requested."""
+    from ..ops import conv as _conv
+
+    return (
+        _conv.PACK2
+        and _conv.CONV_TAPS
+        and not _conv.PACK_BWD
+        and not _conv._fused_bwd_enabled()
+        and not cfg.use_pallas
+        and x.shape[1] % 2 == 0
+    )
+
+
+def _apply_stage_pack2(stage, x, mask, cfg, train, rng):
+    """Packed stage: one contiguous reshape in, one out; every conv in the
+    stage runs as a 2C-wide dot (bit-identical to the unpacked stage —
+    see ops/conv.py pack2 notes).  Reference stage: networks.py:323-334."""
+    from ..ops.conv import (
+        conv1x1_pack2, dilated_residual_layer_pack2, pack2, unpack2,
+    )
+
+    b, t, _ = x.shape
+    c = cfg.num_f_maps
+    out = conv1x1_pack2(stage["conv_in"], pack2(x))
+    maskp = jnp.repeat(mask.reshape(b, t // 2, 2), c, axis=-1)
+    rngs = split_rng(rng, len(stage["layers"]))
+    remat_layer = _remat() == "layer" and train
+    for i, layer in enumerate(stage["layers"]):
+        fn = partial(
+            dilated_residual_layer_pack2, dilation=2 ** i,
+            dropout_rate=cfg.dropout_rate, train=train,
+        )
+        if remat_layer:
+            fn = jax.checkpoint(
+                lambda lyr, o, m, r, _f=fn: _f(lyr, o, m, rng=r))
+            out = fn(layer, out, maskp, rngs[i])
+        else:
+            out = fn(layer, out, maskp, rng=rngs[i])
+    return unpack2(conv1x1_pack2(stage["conv_out"], out)) * mask
+
+
 def _apply_stage(stage, x, mask, cfg, train, rng):
+    if _pack2_eligible(x, cfg):
+        return _apply_stage_pack2(stage, x, mask, cfg, train, rng)
     out = conv1d(stage["conv_in"], x)
     # eval fast paths, fastest first: with tap-formulated convs (default,
     # ops/conv.py CONV_TAPS) the plain XLA stage is the fastest measured

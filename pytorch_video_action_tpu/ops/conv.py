@@ -53,6 +53,18 @@ PACKED_MASKS = _os.environ.get("PVA_PACKED_MASKS", "0") == "1"
 # writes are cheap relative to dot issue overhead.
 PACK_BWD = _os.environ.get("PVA_CONV_PACK_BWD", "0") == "1"
 
+# Frame-pair lane packing for the MS-TCN stage stack: activations run as
+# [B, T/2, 2C] (two consecutive frames side by side in the lane axis) and
+# every C=64 matmul becomes a 128-wide block-structured dot.  Rationale:
+# XLA's TPU layout pads the minormost axis to 128 lanes, so [*, 64]
+# activations waste half of every vector register and HBM tile, and a
+# [*,64]@[64,64] dot runs the MXU quarter-filled.  The [B,T,C]->[B,T/2,2C]
+# reshape is row-major contiguous (frame 2t then frame 2t+1), so the packed
+# model is BIT-IDENTICAL to the unpacked one — including the fmix32 dropout
+# stream, which hashes linear element indices (ops/hashmask.py).
+# Covers the reference MS-TCN ops (networks.py:323-347) at any dilation.
+PACK2 = _os.environ.get("PVA_MSTCN_PACK2", "0") == "1"
+
 
 def init_conv1d(rng, in_ch: int, out_ch: int, kernel: int) -> dict:
     fan_in = in_ch * kernel
@@ -127,6 +139,124 @@ def _tap3_packed_bwd(d, res, g):
 
 
 _tap3_packed.defvjp(_tap3_packed_fwd, _tap3_packed_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Frame-pair lane packing (PVA_MSTCN_PACK2): [B, T, C] -> [B, T/2, 2C].
+# Row t' holds frames a = 2t' (lanes :C) and b = 2t'+1 (lanes C:).  All
+# packed weight matrices are built per step from the [C, C'] originals —
+# 128x128 of bf16/f32 per tap, negligible next to the activation streams —
+# and adding the structural-zero blocks to an MXU accumulation is exact,
+# so packed == unpacked bit for bit.
+# ---------------------------------------------------------------------------
+
+
+def pack2(x: jax.Array) -> jax.Array:
+    """[B, T, C] -> [B, T/2, 2C]; row-major contiguous, T must be even."""
+    b, t, c = x.shape
+    return x.reshape(b, t // 2, 2 * c)
+
+
+def unpack2(xp: jax.Array) -> jax.Array:
+    """[B, T/2, 2C] -> [B, T, C]."""
+    b, t2, c2 = xp.shape
+    return xp.reshape(b, 2 * t2, c2 // 2)
+
+
+def _bd2(w: jax.Array) -> jax.Array:
+    """[Ci, Co] -> [2Ci, 2Co] block diagonal: both frames through ``w``."""
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([w, z], 1), jnp.concatenate([z, w], 1)], 0)
+
+
+def _b_hl2(w: jax.Array) -> jax.Array:
+    """Input hi half (frame b) -> output lo half (frame a)."""
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([z, z], 1), jnp.concatenate([w, z], 1)], 0)
+
+
+def _b_lh2(w: jax.Array) -> jax.Array:
+    """Input lo half (frame a) -> output hi half (frame b)."""
+    z = jnp.zeros_like(w)
+    return jnp.concatenate(
+        [jnp.concatenate([z, w], 1), jnp.concatenate([z, z], 1)], 0)
+
+
+def conv1x1_pack2(p: dict, xp: jax.Array) -> jax.Array:
+    """K=1 conv on packed activations: one dense 2Ci x 2Co dot."""
+    return xp @ _bd2(p["w"][0]) + jnp.concatenate([p["b"], p["b"]])
+
+
+def tap3_pack2(d: int, w: jax.Array, b: jax.Array, xp: jax.Array) -> jax.Array:
+    """K=3 'same' dilated conv on packed activations (``w`` [3, C, C]).
+
+    Frame a = 2t' reads x[a-d], x[a], x[a+d]; frame b = 2t'+1 likewise.
+    Even d: a row shift of d/2 keeps taps in their own lane half
+    (block-diagonal weights).  Odd d: taps cross the lane boundary, so the
+    left/right taps split into an off-diagonal pair at row shifts
+    (d+1)/2 and (d-1)/2; for d == 1 the (d-1)/2 = 0 terms merge into one
+    dense current-row matrix, keeping the dot count at three.
+    """
+    t = 2 * xp.shape[1]
+    b2 = jnp.concatenate([b, b])
+    if d >= t:
+        # all shifted taps out of range under 'same' zero padding
+        # (networks.py:316 reaches 2^19 >> T) — center tap only.
+        return xp @ _bd2(w[1]) + b2
+    if d % 2 == 0:
+        s = d // 2
+        return (_shift_right(xp, s) @ _bd2(w[0]) + xp @ _bd2(w[1])
+                + _shift_left(xp, s) @ _bd2(w[2]) + b2)
+    if d == 1:
+        # row t'-1 hi -> lo (w0) | row t': bd(w1) + lo->hi (w0) + hi->lo (w2)
+        # | row t'+1 lo -> hi (w2)
+        m_cur = _bd2(w[1]) + _b_lh2(w[0]) + _b_hl2(w[2])
+        return (_shift_right(xp, 1) @ _b_hl2(w[0]) + xp @ m_cur
+                + _shift_left(xp, 1) @ _b_lh2(w[2]) + b2)
+    s = (d - 1) // 2
+    return (_shift_right(xp, s + 1) @ _b_hl2(w[0])
+            + _shift_right(xp, s) @ _b_lh2(w[0])
+            + xp @ _bd2(w[1])
+            + _shift_left(xp, s) @ _b_hl2(w[2])
+            + _shift_left(xp, s + 1) @ _b_lh2(w[2]) + b2)
+
+
+def dilated_residual_layer_pack2(
+    layer: dict,
+    xp: jax.Array,
+    maskp: jax.Array,
+    *,
+    dilation: int,
+    dropout_rate: float = 0.5,
+    train: bool = False,
+    rng=None,
+) -> jax.Array:
+    """Packed ``DilatedResidualLayer`` (``networks.py:336-347``).
+
+    Bit-identical to :func:`dilated_residual_layer` reshaped: the fmix32
+    dropout stream hashes linear element indices, and pack2 preserves
+    row-major element order, so ``keep_mask`` over the packed shape IS the
+    unpacked mask.
+    """
+    out = jax.nn.relu(tap3_pack2(int(dilation), layer["conv_dilated"]["w"],
+                                 layer["conv_dilated"]["b"], xp))
+    out = conv1x1_pack2(layer["conv_1x1"], out)
+    if train and dropout_rate > 0.0 and rng is not None:
+        keep = 1.0 - dropout_rate
+        if HASH_DROPOUT:
+            from .hashmask import keep_mask, rng_seed_u32, threshold
+
+            km = keep_mask(rng_seed_u32(rng), out.shape, threshold(keep))
+            out = jnp.where(km, out * (1.0 / keep), jnp.zeros((), out.dtype))
+        else:
+            # threefry is shape-keyed, not flat-order-keyed: draw at the
+            # unpacked shape so the stream matches the unpacked path.
+            bsz, t2, c2 = out.shape
+            km = jax.random.bernoulli(rng, keep, (bsz, 2 * t2, c2 // 2))
+            out = out * pack2(km) / keep
+    return (xp + out) * maskp
 
 
 def conv1d(p: dict, x: jax.Array, dilation: int = 1) -> jax.Array:
