@@ -48,12 +48,19 @@ def rng_seed_u32(rng) -> jax.Array:
     return seed
 
 
-def keep_mask(seed_u32, shape, thresh: int, offset=None):
+def keep_mask(seed_u32, shape, thresh: int, offset=None, strides=None):
     """iid-Bernoulli(keep) boolean mask over ``shape`` (static, any rank).
 
     Element index is the linear row-major position; ``offset`` (Python int
     or traced scalar) selects an independent stream, e.g. ``offset=step``
     gives per-block streams that the backward regenerates exactly.
+
+    ``strides`` (per-axis Python ints) overrides the index computation for
+    tensors held in a layout other than the stream's canonical one — e.g. a
+    TIME-major ``[T, B, C]`` view of a batch-major stream passes
+    ``strides=(C, T*C, 1)`` and every element draws the same mask bit it
+    would in ``[B, T, C]`` row-major order (tests/test_rnn_stack_tm.py).
+    The default is row-major over ``shape`` (unchanged behavior).
 
     The (seed, offset) pair is avalanched into a scalar key BEFORE touching
     the counter (one extra scalar fmix32, free per mask).  Folding them in
@@ -73,11 +80,17 @@ def keep_mask(seed_u32, shape, thresh: int, offset=None):
     # scalar avalanche; + GOLDEN keeps seed=0/offset=None off fmix32's
     # fixed point at 0 (fmix32(0) == 0 would expose the raw counter stream)
     key = fmix32(key + jnp.uint32(GOLDEN))
+    if strides is None:
+        strides = []
+        stride = 1
+        for axis in range(len(shape) - 1, -1, -1):
+            strides.append(stride)
+            stride *= shape[axis]
+        strides = strides[::-1]
     idx = jnp.zeros(shape, jnp.uint32)
-    stride = 1
     for axis in range(len(shape) - 1, -1, -1):
-        idx = idx + lax.broadcasted_iota(jnp.uint32, shape, axis) * jnp.uint32(stride)
-        stride *= shape[axis]
+        idx = idx + lax.broadcasted_iota(jnp.uint32, shape, axis) * jnp.uint32(
+            strides[axis] & 0xFFFFFFFF)
     return fmix32(idx ^ key) < jnp.uint32(thresh)
 
 

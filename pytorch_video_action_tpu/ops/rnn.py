@@ -45,6 +45,13 @@ USE_PALLAS: bool | None = (
 )
 _AUTO_PALLAS: bool | None = None
 
+# Whole-stack time-major path: keep the inter-layer stream [T, B, 2H]
+# across every fused layer kernel instead of transposing to batch-major and
+# back around each one (two [B,T,2H] transpose materializations per
+# boundary), and fuse concat+mask+dropout into one elementwise pass.
+# PVA_RNN_TM=0 restores the per-layer path (A/B: tools/ab_rnn_tm.py).
+STACK_TM: bool = _os.environ.get("PVA_RNN_TM", "1") == "1"
+
 
 def _pallas_enabled() -> bool:
     global _AUTO_PALLAS
@@ -248,6 +255,136 @@ def _pack_bidir(cell: str, layer: dict, h: int, g: int):
     return b2, wh, bh
 
 
+def _fused_layer_tm(cell, layer, xt, len_run, h, interpret):
+    """One fused bidirectional layer on a TIME-major ``[T, B, W]`` stream:
+    dispatch to the split/merged Pallas layer kernel (ops/rnn_fused_pallas).
+    Returns ``(ysf, ysb)`` both ``[T, B, H]`` in original time order,
+    unmasked."""
+    from . import rnn_fused_pallas as F
+
+    g = _n_gates(cell)
+    lf, lb = layer["fwd"], layer["bwd"]
+    if F.SPLIT:
+        # direction-split step bodies consume raw torch layouts —
+        # no packing (or its transposed VJP) ever traces
+        if cell == "gru":
+            return F.gru_bidir_fused_split(
+                xt, lf["wi"], lb["wi"], lf["bi"], lb["bi"],
+                lf["wh"], lb["wh"], lf["bh"], lb["bh"], len_run, interpret)
+        # lstm folds both biases into the gates
+        return F.lstm_bidir_fused_split(
+            xt, lf["wi"], lb["wi"], lf["bi"] + lf["bh"],
+            lb["bi"] + lb["bh"], lf["wh"], lb["wh"], len_run, interpret)
+    b2, wh, bh = _pack_bidir(cell, layer, h, g)
+    # input weights go in DENSE (torch weight_ih layout) — the kernel
+    # merges gates in-kernel, so no _pack_dir_cols scatter (or its
+    # transposed VJP) ever traces on this path
+    if cell == "gru":
+        return F.gru_bidir_fused(
+            xt, lf["wi"], lb["wi"], b2, wh, bh, len_run, interpret)
+    # lstm: biases pre-folded, no hidden bias operand
+    return F.lstm_bidir_fused(xt, lf["wi"], lb["wi"], b2, wh, len_run,
+                              interpret)
+
+
+def _stack_tm_ok(cell, layers, x, hidden_dim) -> bool:
+    """True when EVERY layer of the stack fits the fused layer kernel, so
+    the whole stack can stay time-major (mixed stacks fall back to the
+    per-layer path, which picks fused/XLA layer by layer)."""
+    if not _pallas_enabled():
+        return False
+    from . import rnn_fused_pallas as F
+
+    b_run = x.shape[0] + ((-x.shape[0]) % 8)
+    t_len = x.shape[1]
+    sup = F.supported if cell == "gru" else F.lstm_supported
+    w_in = x.shape[-1]
+    for _ in layers:
+        if not sup(t_len, b_run, hidden_dim, w_in, x.dtype):
+            return False
+        w_in = 2 * hidden_dim
+    return True
+
+
+def _run_stack_fused_tm(
+    cell: str,
+    layers: list[dict],
+    x: jax.Array,
+    lengths: jax.Array,
+    hidden_dim: int,
+    dropout_rate: float,
+    train: bool,
+    rng,
+):
+    """The whole bidirectional stack on ONE time-major stream.
+
+    The per-layer path transposes ``[B,T,2H] <-> [T,B,2H]`` around every
+    layer kernel, so each inter-layer boundary materializes two transposes
+    plus separate concat/mask/dropout passes (round-4 profile: the fused
+    kernels are at roofline, the residual bigru step time is this glue).
+    Here the stream stays time-major across the stack — one transpose in,
+    one out — and each boundary is a single fused elementwise pass
+    (concat + validity mask + inter-layer dropout).
+
+    Dropout stream equality: masks are drawn with BATCH-major index strides
+    (``hashmask.keep_mask(strides=...)``), so every element sees the exact
+    mask bit the per-layer/XLA paths give it — the stream depends on the
+    element's ``(b*T + t)*2H + c`` index, which is invariant both to the
+    time-major layout and to the 8-row batch pad (row ``b``'s indices never
+    reference ``b_run``).  Pinned by tests/test_rnn_stack_tm.py.
+
+    Reference semantics: ``torch.nn.GRU/LSTM(bidirectional=True,
+    dropout=...)`` (``networks.py:143-167``) — inter-layer dropout on every
+    layer's output except the last, padded steps emit zeros.
+    """
+    b_sz, t_len = x.shape[0], x.shape[1]
+    h = hidden_dim
+    b_pad = (-b_sz) % 8
+    x_run, len_run = x, lengths
+    if b_pad:
+        x_run = jnp.pad(x, ((0, b_pad), (0, 0), (0, 0)))
+        len_run = jnp.pad(lengths, (0, b_pad))
+    b_run = b_sz + b_pad
+    interpret = jax.default_backend() != "tpu"
+    # time-major validity mask [T, B, 1]
+    mask_tb = (
+        jnp.arange(t_len, dtype=jnp.int32)[:, None] < len_run[None, :]
+    ).astype(x.dtype)[:, :, None]
+    out = jnp.swapaxes(x_run, 0, 1)  # [T, B, W]
+    drop_site = train and dropout_rate > 0.0 and rng is not None
+    keep = 1.0 - dropout_rate
+    for li, layer in enumerate(layers):
+        ysf, ysb = _fused_layer_tm(cell, layer, out, len_run, h, interpret)
+        out = jnp.concatenate([ysf, ysb], axis=-1) * mask_tb
+        if drop_site and li < len(layers) - 1:
+            rng, sub = jax.random.split(rng)
+            from . import hashmask
+
+            if hashmask.MODEL_DROPOUT:
+                # batch-major-strided mask: identical stream to the
+                # per-layer path's hash_dropout on [B, T, 2H]
+                km = hashmask.keep_mask(
+                    hashmask.rng_seed_u32(sub), out.shape,
+                    hashmask.threshold(keep),
+                    strides=(2 * h, t_len * 2 * h, 1))
+                out = jnp.where(
+                    km, out * (1.0 / keep), jnp.zeros((), out.dtype))
+            else:
+                # threefry draws over the UNPADDED batch-major shape (the
+                # per-layer path's stream depends on it), padded with keeps
+                bern = jax.random.bernoulli(
+                    sub, keep, (b_sz, t_len, 2 * h))
+                if b_pad:
+                    bern = jnp.pad(
+                        bern, ((0, b_pad), (0, 0), (0, 0)),
+                        constant_values=True)
+                out = out * jnp.swapaxes(bern, 0, 1) / keep
+    out = jnp.swapaxes(out, 0, 1)
+    if b_pad:
+        out = out[:b_sz]
+    return out
+
+
 def _run_bidir_fused(
     cell: str,
     layer: dict,
@@ -283,33 +420,7 @@ def _run_bidir_fused(
                 x_run = jnp.pad(x, ((0, b_pad), (0, 0), (0, 0)))
                 len_run = jnp.pad(lengths, (0, b_pad))
             xt = jnp.swapaxes(x_run, 0, 1)
-            lf, lb = layer["fwd"], layer["bwd"]
-            if F.SPLIT:
-                # direction-split step bodies consume raw torch layouts —
-                # no packing (or its transposed VJP) ever traces
-                if cell == "gru":
-                    ysf, ysb = F.gru_bidir_fused_split(
-                        xt, lf["wi"], lb["wi"], lf["bi"], lb["bi"],
-                        lf["wh"], lb["wh"], lf["bh"], lb["bh"],
-                        len_run, interpret)
-                else:  # lstm folds both biases into the gates
-                    ysf, ysb = F.lstm_bidir_fused_split(
-                        xt, lf["wi"], lb["wi"], lf["bi"] + lf["bh"],
-                        lb["bi"] + lb["bh"], lf["wh"], lb["wh"],
-                        len_run, interpret)
-            else:
-                b2, wh, bh = _pack_bidir(cell, layer, h, g)
-                # input weights go in DENSE (torch weight_ih layout) — the
-                # kernel merges gates in-kernel, so no _pack_dir_cols
-                # scatter (or its transposed VJP) ever traces on this path
-                if cell == "gru":
-                    ysf, ysb = F.gru_bidir_fused(
-                        xt, lf["wi"], lb["wi"], b2, wh, bh,
-                        len_run, interpret)
-                else:  # lstm: biases pre-folded, no hidden bias operand
-                    ysf, ysb = F.lstm_bidir_fused(
-                        xt, lf["wi"], lb["wi"], b2, wh,
-                        len_run, interpret)
+            ysf, ysb = _fused_layer_tm(cell, layer, xt, len_run, h, interpret)
             ys = jnp.swapaxes(jnp.concatenate([ysf, ysb], axis=-1), 0, 1)
             if b_pad:
                 ys = ys[:b_sz]
@@ -350,6 +461,10 @@ def rnn_apply(
     """
     assert cell in ("lstm", "gru")
     t = x.shape[1]
+    if (STACK_TM and scan_impl is None and bidirectional
+            and _stack_tm_ok(cell, layers, x, hidden_dim)):
+        return _run_stack_fused_tm(
+            cell, layers, x, lengths, hidden_dim, dropout_rate, train, rng)
     mask_bt = length_mask(lengths, t)
     out = x
     for li, layer in enumerate(layers):

@@ -849,6 +849,15 @@ import os as _os
 
 SPLIT = _os.environ.get("PVA_RNN_SPLIT", "1") == "1"
 
+# Chunk-batched hidden weight-gradient accumulation in the split backward
+# kernels: the per-step form runs a [H, B] @ [B, gH] dwh dot (B=64-deep
+# contraction, MXU half-fed) plus a bias reduce INSIDE the strictly
+# sequential step loop; the batched form contracts the whole chunk in one
+# [H, chunk*B] @ [chunk*B, gH] dot per direction after the loop, off the
+# serial chain.  PVA_RNN_CHUNK_DW=0 restores the per-step accumulation
+# (A/B: tools/ab_rnn_chunk_dw.py).
+CHUNK_DW = _os.environ.get("PVA_RNN_CHUNK_DW", "1") == "1"
+
 
 def _pick_chunk_split(t, b, h, w_in, dtype, g, lstm):
     """VMEM-budgeted chunk for the split kernels (g gates, g+1 residuals)."""
@@ -1093,17 +1102,44 @@ def _bwd_kernel_split(t_total, chunk, h, n_chunks,
         dh_b_new = dh_b * z_b + jnp.dot(
             dhg_b_c, whb_ref[:].T, preferred_element_type=jnp.float32)
         dhb_ref[:] = jnp.where(valid_b, dh_b_new, dh_b)
-        dwhf_ref[:] += jnp.dot(
-            hpf_ref[t].T.astype(whf_ref.dtype), dhg_f_c,
-            preferred_element_type=jnp.float32)
-        dwhb_ref[:] += jnp.dot(
-            hpb_ref[t].T.astype(whb_ref.dtype), dhg_b_c,
-            preferred_element_type=jnp.float32)
-        dbhf_ref[:] += jnp.sum(dhg_f, axis=0, keepdims=True)
-        dbhb_ref[:] += jnp.sum(dhg_b, axis=0, keepdims=True)
+        if not CHUNK_DW:
+            dwhf_ref[:] += jnp.dot(
+                hpf_ref[t].T.astype(whf_ref.dtype), dhg_f_c,
+                preferred_element_type=jnp.float32)
+            dwhb_ref[:] += jnp.dot(
+                hpb_ref[t].T.astype(whb_ref.dtype), dhg_b_c,
+                preferred_element_type=jnp.float32)
+            dbhf_ref[:] += jnp.sum(dhg_f, axis=0, keepdims=True)
+            dbhb_ref[:] += jnp.sum(dhg_b, axis=0, keepdims=True)
         return 0
 
     jax.lax.fori_loop(0, chunk, body, 0, unroll=True)
+
+    if CHUNK_DW:
+        # chunk-batched hidden weight/bias grads, OFF the serial chain: the
+        # per-step form above runs a [H, B] @ [B, 3H] dot (64-deep
+        # contraction — MXU half-fed) inside the strictly sequential loop;
+        # here ONE [H, chunk*B] @ [chunk*B, 3H] dot per direction contracts
+        # the whole chunk at once.  dhg is rebuilt from the dxg scratch +
+        # saved r (dhg == dxg except the n block, which carries an extra
+        # *r); the n-block product is the only temporary, so the dot splits
+        # into rz- and n-column blocks to avoid a full-width concat temp.
+        for (dxg_ref, res_ref, hp_ref, dwh_ref, dbh_ref, w_ref) in (
+                (dxgf_ref, resf_ref, hpf_ref, dwhf_ref, dbhf_ref, whf_ref),
+                (dxgb_ref, resb_ref, hpb_ref, dwhb_ref, dbhb_ref, whb_ref)):
+            hp2d = hp_ref[:].reshape(chunk * b, h).T.astype(w_ref.dtype)
+            dxg3 = dxg_ref[:]
+            rz = dxg3[:, :, :2 * h].reshape(chunk * b, 2 * h)
+            ng = (dxg3[:, :, 2 * h:] * res_ref[:][:, :, :h]
+                  ).reshape(chunk * b, h)
+            dwh_ref[:, :2 * h] += jnp.dot(
+                hp2d, rz.astype(w_ref.dtype),
+                preferred_element_type=jnp.float32)
+            dwh_ref[:, 2 * h:] += jnp.dot(
+                hp2d, ng.astype(w_ref.dtype),
+                preferred_element_type=jnp.float32)
+            dbh_ref[:, :2 * h] += jnp.sum(rz, axis=0, keepdims=True)
+            dbh_ref[:, 2 * h:] += jnp.sum(ng, axis=0, keepdims=True)
 
     # per-chunk projection backward: gate grads are ALREADY dense per
     # direction — no de-interleave, just the flip pairing x_rev rows
@@ -1460,15 +1496,30 @@ def _lstm_bwd_kernel_split(t_total, chunk, h, n_chunks,
         # frozen steps are identity in BOTH h and c: pass dh/dc through
         dhb_ref[:] = jnp.where(valid_b, dh_b_new, dh_b)
         dcb_ref[:] = jnp.where(valid_b, dc_b * f_b, dc_b)
-        dwhf_ref[:] += jnp.dot(
-            hpf_ref[t].T.astype(whf_ref.dtype), dgates_f_c,
-            preferred_element_type=jnp.float32)
-        dwhb_ref[:] += jnp.dot(
-            hpb_ref[t].T.astype(whb_ref.dtype), dgates_b_c,
-            preferred_element_type=jnp.float32)
+        if not CHUNK_DW:
+            dwhf_ref[:] += jnp.dot(
+                hpf_ref[t].T.astype(whf_ref.dtype), dgates_f_c,
+                preferred_element_type=jnp.float32)
+            dwhb_ref[:] += jnp.dot(
+                hpb_ref[t].T.astype(whb_ref.dtype), dgates_b_c,
+                preferred_element_type=jnp.float32)
         return 0
 
     jax.lax.fori_loop(0, chunk, body, 0, unroll=True)
+
+    if CHUNK_DW:
+        # chunk-batched hidden weight grads, OFF the serial chain (see the
+        # GRU split backward note) — for LSTM the stored dxg scratch IS
+        # dgates, so one [H, chunk*B] @ [chunk*B, 4H] dot per direction
+        # replaces `chunk` serial 64-deep dots with no temporaries at all.
+        dwhf_ref[:] += jnp.dot(
+            hpf_ref[:].reshape(chunk * b, h).T.astype(whf_ref.dtype),
+            dxgf_ref[:].reshape(chunk * b, g4).astype(whf_ref.dtype),
+            preferred_element_type=jnp.float32)
+        dwhb_ref[:] += jnp.dot(
+            hpb_ref[:].reshape(chunk * b, h).T.astype(whb_ref.dtype),
+            dxgb_ref[:].reshape(chunk * b, g4).astype(whb_ref.dtype),
+            preferred_element_type=jnp.float32)
 
     xf2d = xf_ref[:].reshape(chunk * b, w_in)
     xr2d = xr_ref[:].reshape(chunk * b, w_in)
