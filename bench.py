@@ -22,10 +22,11 @@ is killed mid-run.
 
 Robustness (round-3 lesson: BENCH_r03.json was a failure record — the backend
 hiccuped once and the whole line was lost; round-4 lesson: the driver
-SIGKILLs the parent at ~19 min wall, so budgets default to 900s total / 420s
-per task / one 120s probe, tasks run all-train-first then eval/beam with the
-offline-reproducible torch-CPU ref LAST, and every completed measurement
-re-prints the cumulative line): the parent process never touches the TPU.
+SIGKILLs the parent at ~19 min wall, so budgets default to 1020s total /
+420s per task / one non-fatal 300s warm-up probe, tasks run all-train-first
+then eval/beam with the offline-reproducible torch-CPU ref LAST, and every
+completed measurement re-prints the cumulative line): the parent process
+never touches the TPU.
 Every measurement runs in its OWN subprocess with a per-config timeout and a
 total-runtime budget.  One config crashing, hanging, or hitting a cold
 multi-minute Mosaic compile degrades that one key; the JSON line still prints
@@ -459,7 +460,7 @@ def main():
     # then eval, then beam, torch-CPU ref LAST (it's reproducible offline;
     # the TPU numbers are not).
     task_timeout = float(os.environ.get("PVA_BENCH_TASK_TIMEOUT", 420))
-    deadline = time.monotonic() + float(os.environ.get("PVA_BENCH_BUDGET", 900))
+    deadline = time.monotonic() + float(os.environ.get("PVA_BENCH_BUDGET", 1020))
 
     def remaining() -> float:
         return deadline - time.monotonic()
@@ -501,24 +502,21 @@ def main():
         print(f"# done {label}: {val:,.1f}", file=sys.stderr, flush=True)
         return val
 
-    # 1. Backend health gate: ONE probe, 120s cap (r4 burned ~213s on probes
-    #    before the first real measurement).  The probe also pre-warms the
-    #    tunnel so the first config's backend init is cheap.
+    # 1. Backend warm-up probe: ONE attempt, 300s cap (the observed cold
+    #    backend init over the tunnel is ~213s — r4 tail).  NON-FATAL: a
+    #    probe timeout no longer skips the TPU configs (the first live-TPU
+    #    validation of this harness lost the whole capture to exactly that
+    #    single point of failure); each config has its own timeout, and the
+    #    probe's job is just to pre-warm the tunnel so they start fast.
     probes = int(os.environ.get("PVA_BENCH_PROBE_RETRIES", 1))
-    backend_ok = False
+    backend_ok = True
     for i in range(probes):
-        val, err = _spawn("probe", min(120, max(remaining(), 45)))
+        val, err = _spawn("probe", min(300, max(remaining(), 45)))
         if val is not None:
-            backend_ok = True
             print("# backend probe ok", file=sys.stderr, flush=True)
             break
-        print(f"# backend probe {i + 1}/{probes} failed: {err}",
-              file=sys.stderr, flush=True)
-        if i + 1 < probes:
-            time.sleep(15)
-    if not backend_ok:
-        errors["backend"] = f"device backend unavailable after {probes} probe(s)"
-        emit()
+        print(f"# backend probe {i + 1}/{probes} failed ({err}) — "
+              "continuing anyway", file=sys.stderr, flush=True)
 
     # Cached torch-CPU baseline from the most recent successful ref run: the
     # live ref measurement goes LAST, so if the driver kills us first the

@@ -17,42 +17,53 @@ import numpy as np
 from ..data.bundles import read_lines
 
 
-def stratified_kfold_indices(y: np.ndarray, n_splits: int, seed: int = 123):
-    """Stratified K-fold; uses scikit-learn when available (reference parity,
-    ``data_splitting.py:68``), else an order-preserving fallback with the
-    same class-balance guarantee.
+def _kfold_test_chunks(n: int, k: int):
+    """Test-index chunks of ``KFold(k, shuffle=False)`` over ``range(n)``:
+    contiguous, the first ``n % k`` chunks one element larger."""
+    sizes = np.full(k, n // k)
+    sizes[: n % k] += 1
+    bounds = np.cumsum(np.concatenate([[0], sizes]))
+    return [np.arange(bounds[i], bounds[i + 1]) for i in range(k)]
 
-    The reference passes ``random_state=123`` without ``shuffle`` — on its
-    sklearn that was silently ignored (shuffle=False is deterministic);
-    modern sklearn raises for that combination, so true parity is
-    ``StratifiedKFold(n_splits)`` with no random_state."""
+
+def stratified_kfold_indices(y: np.ndarray, n_splits: int, seed: int = 123):
+    """Stratified K-fold reproducing the reference's checked-in fold files
+    BYTE-FOR-BYTE (``tests/test_data_layer.py::
+    test_data_splitting_reproduces_reference_folds_byte_exact``).
+
+    The reference calls ``StratifiedKFold(5, random_state=123)`` with
+    ``shuffle=False`` (``data_splitting.py:68``), on which random_state is
+    inert — but sklearn CHANGED the unshuffled stratification algorithm in
+    0.22, so the installed sklearn assigns different folds than the ones the
+    reference checked in (same class balance, different members; verified
+    empirically).  The artifacts are the contract, so this reimplements the
+    reference-era (<0.22) algorithm directly: per class, ``KFold(k)`` over
+    ``max(count, k)`` padded positions, interleaved fold-major — no sklearn
+    dependency, fully deterministic.
+
+    Raises like sklearn does when ``n_splits`` exceeds the smallest class
+    count (every class must appear in every fold's train side)."""
     del seed  # kept in the signature for the reference's CLI surface
-    try:
-        from sklearn.model_selection import StratifiedKFold
-    except ImportError:
-        pass
-    else:
-        # sklearn's own validation errors (e.g. n_splits > smallest class
-        # count) must propagate — the reference would crash the same way
-        skf = StratifiedKFold(n_splits=n_splits)
-        return list(skf.split(np.zeros_like(y), y))
-    folds: list[list[int]] = [[] for _ in range(n_splits)]
-    for cls in np.unique(y):
-        for j, idx in enumerate(np.nonzero(y == cls)[0]):
-            folds[j % n_splits].append(int(idx))
-    if any(not f for f in folds):
+    unique_y = np.unique(y)
+    y_counts = np.array([int(np.sum(y == cls)) for cls in unique_y])
+    if n_splits > y_counts.min():
         raise ValueError(
-            f"n_splits={n_splits} is greater than the number of members in "
-            "the smallest class"
+            f"n_splits={n_splits} cannot be greater than the number of "
+            f"members in each class."
         )
-    out = []
-    for k in range(n_splits):
-        dev = np.array(sorted(folds[k]), dtype=np.int64)
-        train = np.array(
-            sorted(set(range(len(y))) - set(folds[k])), dtype=np.int64
-        )
-        out.append((train, dev))
-    return out
+    test_folds = np.empty(len(y), dtype=np.int64)
+    per_cls = [_kfold_test_chunks(max(c, n_splits), n_splits)
+               for c in y_counts]
+    for fold_i in range(n_splits):
+        for cls_i, cls in enumerate(unique_y):
+            cls_idx = np.nonzero(y == cls)[0]
+            ts = per_cls[cls_i][fold_i]
+            ts = ts[ts < len(cls_idx)]
+            test_folds[cls_idx[ts]] = fold_i
+    return [
+        (np.nonzero(test_folds != i)[0], np.nonzero(test_folds == i)[0])
+        for i in range(n_splits)
+    ]
 
 
 def parse_arguments(argv=None):

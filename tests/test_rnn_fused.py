@@ -183,3 +183,64 @@ def test_bigru_model_pallas_matches_xla(train):
         R.USE_PALLAS = orig
     np.testing.assert_allclose(
         np.asarray(out_k), np.asarray(out_x), atol=3e-5, rtol=2e-4)
+
+
+@pytest.mark.parametrize("lstm", [False, True], ids=["gru", "lstm"])
+def test_fused_layer_chunk_dw_off_grads_match(monkeypatch, lstm):
+    """The CHUNK_DW=0 per-step weight-grad fallback (the flag-gated escape
+    hatch for the chunk-batched accumulation) must produce the same grads
+    as the default chunk-batched form — both vs each other and vs XLA."""
+    mk, run = (_mk_lstm, _run_lstm) if lstm else (_mk, _run)
+    layer, x, lengths = mk(seed=29)
+    w = jnp.asarray(
+        np.random.default_rng(31).normal(size=(8, 64, 256)).astype(np.float32))
+    w = w * R.length_mask(lengths, 64).astype(jnp.float32)[:, :, None]
+
+    def loss(layer, x, use_pallas):
+        return jnp.sum(run(layer, x, lengths, 128, use_pallas, split=True) * w)
+
+    monkeypatch.setattr(F, "CHUNK_DW", False)
+    l_off, g_off = jax.value_and_grad(loss, argnums=(0, 1))(layer, x, True)
+    monkeypatch.setattr(F, "CHUNK_DW", True)
+    l_on, g_on = jax.value_and_grad(loss, argnums=(0, 1))(layer, x, True)
+    l_x, g_x = jax.value_and_grad(loss, argnums=(0, 1))(layer, x, False)
+    np.testing.assert_allclose(float(l_off), float(l_x), rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(g_off), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-5, rtol=2e-4)
+    # off-vs-on: identical math reassociated over the chunk — near-exact
+    for a, b_ in zip(jax.tree.leaves(g_off), jax.tree.leaves(g_on)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=2e-5, rtol=1e-4)
+
+
+def test_split_vmem_estimate_within_limit():
+    """ADVICE r4: the CHUNK_DW batched weight-grad temporaries (transposed
+    hp2d copy + cast gate-grad blocks + f32 n-block product) were not in the
+    chunk picker's VMEM estimate, and the chipless AOT compile path enforces
+    the scoped-VMEM limit STRICTLY while runtime JIT admits an over-budget
+    stack (the round-4 flash regression).  The picker deliberately keeps its
+    historical budget (chunk picks — and measured perf — unchanged); the
+    split pallas_calls instead request an explicit ``_SPLIT_VMEM_LIMIT``,
+    and this guard pins estimate(include_dw=True) * 1.3 <= that limit for
+    every bench-config shape the picker admits, so limit/budget drift can't
+    silently reintroduce the AOT OOM."""
+    shapes = [
+        # (b, h, w_in, g, lstm): bench regimes — bigru/bilstm b=64 layer-0
+        # (w_in=400) and stacked (w_in=2H=256); attn's 1-layer BiGRU at the
+        # kernel's padded minimum batch (B=4 -> 8)
+        (64, 128, 400, 3, False), (64, 128, 256, 3, False),
+        (64, 128, 400, 4, True), (64, 128, 256, 4, True),
+        (8, 128, 400, 3, False), (8, 128, 256, 3, False),
+    ]
+    assert F.CHUNK_DW  # default-on; include_dw is a no-op otherwise
+    for dtype in (jnp.float32, jnp.bfloat16):
+        for t in (64, 1024, 4096):
+            for b, h, w_in, g, lstm in shapes:
+                chunk = F._pick_chunk_split(t, b, h, w_in, dtype, g, lstm)
+                if chunk is None:
+                    continue
+                est = F._est_split(chunk, b, h, w_in, dtype, g, lstm,
+                                   include_dw=True)
+                assert est * 1.3 <= F._SPLIT_VMEM_LIMIT, (
+                    t, b, h, w_in, g, lstm, dtype, chunk, est)

@@ -511,3 +511,52 @@ def test_opt_layout_roundtrip_across_flat_settings(tmp_path):
         # clashing template: actionable error, not a bare assert
         with pytest.raises(ValueError, match="PVA_FLAT_OPT"):
             ckpt.load_resume(path, opt_state_like=st_clash)
+
+
+def test_train_cli_eval_and_eval_lm_paths(synthetic_root, tmp_path,
+                                          monkeypatch, capsys):
+    """VERDICT r4 weak #7: the ``train.py --eval`` / ``--eval --lm_path``
+    CLI paths end-to-end (reference ``train.py:277-290``): guard message
+    without ``--pretrained_model``, reference-format accuracy prints from
+    both the plain evaluate and the beam-search branch, and no training."""
+    import glob
+    import re
+
+    from pytorch_video_action_tpu.cli.train_cli import main as train_main
+    from pytorch_video_action_tpu.lm.train_arpa import train_arpa
+
+    monkeypatch.chdir(tmp_path)
+    common = [
+        "--model", "simple_fc", "--batchsize", "2",
+        "--data_dir", os.path.join(str(synthetic_root), "data"),
+        "--annot_path", str(synthetic_root),
+        "--bucket_multiple", "32",
+    ]
+    train_main(common + ["--epoch", "1"])
+    ckpts = glob.glob(str(tmp_path / "models" / "simple_fc_*_dev.npz"))
+    assert ckpts, "training produced no best-dev checkpoint"
+    name = os.path.splitext(os.path.basename(ckpts[0]))[0]
+    capsys.readouterr()
+
+    # guard: --eval without --pretrained_model prints the reference's error
+    # message (train.py:278-281) and does nothing else
+    train_main(common + ["--eval"])
+    out = capsys.readouterr().out
+    assert "[ERROR] Please provide the model path" in out
+
+    acc_re = re.compile(
+        r"Dev accuracy by frame: \d+\.\d{3}\n"
+        r"Dev accuracy by segment: \d+\.\d{3}", re.M)
+
+    train_main(common + ["--eval", "--pretrained_model", name])
+    out = capsys.readouterr().out
+    assert acc_re.search(out), out
+    assert "Starting Epoch" not in out
+
+    arpa = str(tmp_path / "lm.arpa")
+    train_arpa(["1 2 3", "1 2", "2 3 4", "1 3"], arpa, order=2)
+    train_main(common + ["--eval", "--pretrained_model", name,
+                         "--lm_path", arpa, "--beam_size", "3"])
+    out = capsys.readouterr().out
+    assert acc_re.search(out), out
+    assert "Starting Epoch" not in out

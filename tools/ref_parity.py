@@ -61,6 +61,10 @@ def shared_init(root: str, model: str, n_class: int, args) -> None:
     from pytorch_video_action_tpu.train.checkpoint import save_params
 
     torch.manual_seed(args.seed)
+    # Construction mirrors the literal factory (/root/reference/train.py:
+    # 218-259) at its CLI defaults: lstm_layer=2, lstm_hidden1=256,
+    # lstm_hidden2=64, lstm_dropout=0.5, attn_head=4, pred_mode='cont'
+    # (train.py:57-66) — the same defaults build_model uses.
     if model == "bigru":
         net = ref_nets.BiGRU(400, n_class=n_class)
         jd = build_model("bigru", n_class)
@@ -70,6 +74,24 @@ def shared_init(root: str, model: str, n_class: int, args) -> None:
     elif model == "simple_fc":
         net = ref_nets.SimpleFC(400, n_class)
         jd = build_model("simple_fc", n_class)
+    elif model == "vanilla_lstm":
+        net = ref_nets.vanillaLSTM(400, lstm_layer=2, hidden_dim=256,
+                                   dropout_rate=0.5, n_class=n_class,
+                                   mode="cont")
+        jd = build_model("vanilla_lstm", n_class)
+    elif model == "bilstm":
+        net = ref_nets.BiLSTM(input_dim=400, lstm_layer=2, hidden_dim_1=256,
+                              dropout_rate=0.5, hidden_dim_2=64,
+                              n_class=n_class, mode="cont")
+        jd = build_model("bilstm", n_class)
+    elif model == "attn":
+        net = ref_nets.MultiHeadAttention(400, 4, n_class=n_class,
+                                          mode="cont")
+        jd = build_model("attn", n_class)
+    elif model == "ctcloss":
+        # the reference builds a BiGRU with n_class+1 outputs (blank=n_class)
+        net = ref_nets.BiGRU(400, n_class=n_class + 1)
+        jd = build_model("ctcloss", n_class)
     else:
         raise SystemExit(f"unsupported shared-init model: {model}")
     os.makedirs(os.path.join(root, "models"), exist_ok=True)
@@ -104,7 +126,8 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", required=True)
     ap.add_argument("--model", default="bigru",
-                    choices=["bigru", "ms_tcn", "simple_fc"])
+                    choices=["bigru", "ms_tcn", "simple_fc", "vanilla_lstm",
+                             "bilstm", "attn", "ctcloss"])
     ap.add_argument("--epoch", type=int, default=3)
     ap.add_argument("--batchsize", type=int, default=8)
     ap.add_argument("--n_train", type=int, default=60)
