@@ -22,7 +22,7 @@ is killed mid-run.
 
 Robustness (round-3 lesson: BENCH_r03.json was a failure record — the backend
 hiccuped once and the whole line was lost; round-4 lesson: the driver
-SIGKILLs the parent at ~19 min wall, so budgets default to 1020s total /
+SIGKILLs the parent at ~19 min wall, so budgets default to 1100s total /
 420s per task / one non-fatal 300s warm-up probe, tasks run all-train-first
 then eval/beam with the offline-reproducible torch-CPU ref LAST, and every
 completed measurement re-prints the cumulative line): the parent process
@@ -460,7 +460,7 @@ def main():
     # then eval, then beam, torch-CPU ref LAST (it's reproducible offline;
     # the TPU numbers are not).
     task_timeout = float(os.environ.get("PVA_BENCH_TASK_TIMEOUT", 420))
-    deadline = time.monotonic() + float(os.environ.get("PVA_BENCH_BUDGET", 1020))
+    deadline = time.monotonic() + float(os.environ.get("PVA_BENCH_BUDGET", 1100))
 
     def remaining() -> float:
         return deadline - time.monotonic()
