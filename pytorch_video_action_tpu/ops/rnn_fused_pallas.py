@@ -859,6 +859,19 @@ SPLIT = _os.environ.get("PVA_RNN_SPLIT", "1") == "1"
 # by tests/test_rnn_fused.py::test_fused_layer_chunk_dw_off_grads_match).
 CHUNK_DW = _os.environ.get("PVA_RNN_CHUNK_DW", "1") == "1"
 
+# In-kernel previous-state tiles in the split backward: the legacy glue
+# builds hp (and LSTM cp) as FULL [T, B, H] planes via
+# ``concatenate(zeros, ys[:-1])`` — XLA lowers that to a pad that copies the
+# whole plane through HBM (round-5 trace: 8 pads x ~44 us = 0.35 ms/step of
+# the 5.8 ms bigru step, plus the ysb flip).  With INKERNEL_HP the backward
+# kernel instead streams ys directly (same bytes, the planes already exist)
+# plus a tiny [n_chunks, B, H] chunk-boundary-row input, and builds the
+# one-step-shifted hp tile in VMEM (flip + shift are block-local
+# slice-concats).  Values are bit-identical — hp rows are the same ys rows.
+# PVA_RNN_INKERNEL_HP=0 restores the pad-glue path (A/B:
+# tools/ab_rnn_inkernel_hp.py; both paths grad-parity-tested).
+INKERNEL_HP = _os.environ.get("PVA_RNN_INKERNEL_HP", "1") == "1"
+
 # Explicit scoped-VMEM limit for the split kernels, mirroring the flash
 # kernel's fix for the round-4 lesson: the chipless AOT compile helper (the
 # driver's compile-check path and profile_step_trace) enforces the default
@@ -901,6 +914,9 @@ def _est_split(chunk, b, h, w_in, dtype, g, lstm, *, include_dw=False):
     ) * 2
     if include_dw and CHUNK_DW:
         streams_bwd += 2 * (chunk * b * (h + gh) * sz + chunk * b * h * 4)
+    if include_dw and INKERNEL_HP:
+        # in-kernel previous-state scratch tiles (hp x2, + cp x2 for LSTM)
+        streams_bwd += (4 if lstm else 2) * chunk * b * h * sz
     scratch = (
         2 * chunk * b * gh * 4          # xgf + xgb / dxgf + dxgb
         + chunk * b * gh * 4            # flip temporary
@@ -1066,18 +1082,43 @@ def _fwd_call_split(x, wif, wib, bif, bib, whf, whb, bhf, bhb, lengths, *,
 # ------------------------------------------------------ GRU, split backward
 
 
-def _bwd_kernel_split(t_total, chunk, h, n_chunks,
-                      xf_ref, xr_ref, resf_ref, resb_ref, hpf_ref, hpb_ref,
-                      dyf_ref, dyb_ref, wif_ref, wib_ref, whf_ref, whb_ref,
-                      len_ref,
-                      dxf_ref, dxb_ref, dwif_ref, dwib_ref, dbif_ref,
-                      dbib_ref, dwhf_ref, dwhb_ref, dbhf_ref, dbhb_ref,
-                      dhf_ref, dhb_ref, dxgf_ref, dxgb_ref):
+def _bwd_kernel_split(t_total, chunk, h, n_chunks, inkernel_hp, *refs):
+    if inkernel_hp:
+        (xf_ref, xr_ref, resf_ref, resb_ref, ysf_ref, ysb_ref,
+         dyf_ref, dyb_ref, wif_ref, wib_ref, whf_ref, whb_ref,
+         len_ref, bf_ref, bb_ref, *rest) = refs
+        *rest, hpf_t, hpb_t = rest  # hp scratch tiles (built below)
+    else:
+        (xf_ref, xr_ref, resf_ref, resb_ref, hpf_t, hpb_t,
+         dyf_ref, dyb_ref, wif_ref, wib_ref, whf_ref, whb_ref,
+         len_ref, *rest) = refs
+    (dxf_ref, dxb_ref, dwif_ref, dwib_ref, dbif_ref,
+     dbib_ref, dwhf_ref, dwhb_ref, dbhf_ref, dbhb_ref,
+     dhf_ref, dhb_ref, dxgf_ref, dxgb_ref) = rest
     i = pl.program_id(0)
     c = n_chunks - 1 - i  # kernel chunk index (reverse walk)
     b = xf_ref.shape[1]
     w_in = xf_ref.shape[2]
     g3 = 3 * h
+
+    if inkernel_hp:
+        # hp tiles built into VMEM scratch from the ys streams (ref-indexed
+        # below — Mosaic has no dynamic_slice on values): fwd dir is a
+        # one-row shift (row 0 = the previous chunk's last state, streamed
+        # as a [1, B, H] boundary block); bwd dir additionally flips rows,
+        # since ysb is stored in ORIGINAL time order (same fwdm + in-block
+        # flip convention as dyb).  Row math: kernel step u of kernel-chunk
+        # c needs ys_k[c*chunk+u-1]; with the fwdm block holding original
+        # rows, that is block row chunk-u for u >= 1 and the boundary row
+        # (original row (n-c)*chunk, zeros for c == 0) at u == 0.
+        ysb_blk = ysb_ref[:]
+        hpf_t[:] = jnp.concatenate(
+            [bf_ref[:], ysf_ref[: chunk - 1]], axis=0)
+        hpb_t[:] = jnp.concatenate(
+            [bb_ref[:]] + [ysb_blk[chunk - u][None] for u in range(1, chunk)],
+            axis=0)
+    # else: hp planes prebuilt by XLA pad glue arrive as the hpf_t/hpb_t
+    # input refs directly
 
     @pl.when(i == 0)
     def _():
@@ -1105,8 +1146,8 @@ def _bwd_kernel_split(t_total, chunk, h, n_chunks,
         n_b, hgn_b = resb[:, 2 * h:3 * h], resb[:, 3 * h:]
         dh_f = dyf_ref[t].astype(jnp.float32) + dhf_ref[:]
         dh_b = dyb_ref[chunk - 1 - t].astype(jnp.float32) + dhb_ref[:]
-        dz_f = dh_f * (hpf_ref[t] - n_f)
-        dz_b = dh_b * (hpb_ref[t] - n_b)
+        dz_f = dh_f * (hpf_t[t] - n_f)
+        dz_b = dh_b * (hpb_t[t] - n_b)
         dpre_n_f = dh_f * (1.0 - z_f) * (1.0 - n_f * n_f)
         dpre_n_b = dh_b * (1.0 - z_b) * (1.0 - n_b * n_b)
         dpre_r_f = dpre_n_f * hgn_f * r_f * (1.0 - r_f)
@@ -1138,10 +1179,10 @@ def _bwd_kernel_split(t_total, chunk, h, n_chunks,
         dhb_ref[:] = jnp.where(valid_b, dh_b_new, dh_b)
         if not CHUNK_DW:
             dwhf_ref[:] += jnp.dot(
-                hpf_ref[t].T.astype(whf_ref.dtype), dhg_f_c,
+                hpf_t[t].T.astype(whf_ref.dtype), dhg_f_c,
                 preferred_element_type=jnp.float32)
             dwhb_ref[:] += jnp.dot(
-                hpb_ref[t].T.astype(whb_ref.dtype), dhg_b_c,
+                hpb_t[t].T.astype(whb_ref.dtype), dhg_b_c,
                 preferred_element_type=jnp.float32)
             dbhf_ref[:] += jnp.sum(dhg_f, axis=0, keepdims=True)
             dbhb_ref[:] += jnp.sum(dhg_b, axis=0, keepdims=True)
@@ -1159,8 +1200,8 @@ def _bwd_kernel_split(t_total, chunk, h, n_chunks,
         # *r); the n-block product is the only temporary, so the dot splits
         # into rz- and n-column blocks to avoid a full-width concat temp.
         for (dxg_ref, res_ref, hp_ref, dwh_ref, dbh_ref, w_ref) in (
-                (dxgf_ref, resf_ref, hpf_ref, dwhf_ref, dbhf_ref, whf_ref),
-                (dxgb_ref, resb_ref, hpb_ref, dwhb_ref, dbhb_ref, whb_ref)):
+                (dxgf_ref, resf_ref, hpf_t, dwhf_ref, dbhf_ref, whf_ref),
+                (dxgb_ref, resb_ref, hpb_t, dwhb_ref, dbhb_ref, whb_ref)):
             hp2d = hp_ref[:].reshape(chunk * b, h).T.astype(w_ref.dtype)
             dxg3 = dxg_ref[:]
             rz = dxg3[:, :, :2 * h].reshape(chunk * b, 2 * h)
@@ -1199,14 +1240,35 @@ def _bwd_kernel_split(t_total, chunk, h, n_chunks,
     dbib_ref[:] += jnp.sum(dxg_b, axis=0, keepdims=True)
 
 
-def _bwd_call_split(x, resf, resb, hpf, hpb, dyf, dyb, wif, wib, whf, whb,
+def _bwd_call_split(x, resf, resb, ysf, ysb, dyf, dyb, wif, wib, whf, whb,
                     lengths, *, interpret):
     t, b, w_in = x.shape
     h = whf.shape[0]
     chunk = _pick_chunk_split(t, b, h, w_in, x.dtype, 3, False)
     n = t // chunk
     g3 = 3 * h
-    kern = functools.partial(_bwd_kernel_split, t, chunk, h, n)
+    inkernel_hp = INKERNEL_HP
+    if inkernel_hp:
+        # per-chunk boundary rows [n, B, H]: fwd-dir chunk c starts from
+        # ysf[c*chunk - 1] (zeros at c=0); bwd-dir kernel-chunk c starts
+        # from ysb[(n - c) * chunk] in original order (zeros at c=0) — tiny
+        # strided gathers instead of full-plane pad copies
+        hp_ops = (
+            jnp.concatenate(
+                [jnp.zeros_like(ysf[:1]), ysf[chunk - 1::chunk][: n - 1]],
+                axis=0),
+            jnp.concatenate(
+                [jnp.zeros_like(ysb[:1]),
+                 jnp.flip(ysb[chunk::chunk], axis=0)], axis=0),
+        )
+    else:  # legacy pad-glue hp planes, kernel order (flip ysb first)
+        hpf = jnp.concatenate([jnp.zeros_like(ysf[:1]), ysf[:-1]], axis=0)
+        ysb_k = jnp.flip(ysb, axis=0)
+        hpb = jnp.concatenate([jnp.zeros_like(ysb_k[:1]), ysb_k[:-1]],
+                              axis=0)
+        ysf, ysb = hpf, hpb
+        hp_ops = ()
+    kern = functools.partial(_bwd_kernel_split, t, chunk, h, n, inkernel_hp)
     rev = lambda i, n=n: (n - 1 - i, 0, 0)  # noqa: E731
     fwdm = lambda i: (i, 0, 0)  # noqa: E731
     w0 = lambda i: (0, 0)  # noqa: E731
@@ -1218,8 +1280,12 @@ def _bwd_call_split(x, resf, resb, hpf, hpb, dyf, dyb, wif, wib, whf, whb,
             pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, 4 * h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, 4 * h), rev, memory_space=pltpu.VMEM),
+            # ysf (or legacy hpf): kernel order = original order.  ysb is
+            # streamed in ORIGINAL order (fwdm + in-kernel flip, the dyb
+            # convention); the legacy hpb plane is pre-flipped, so rev.
             pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, h), fwdm if inkernel_hp else rev,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, h), fwdm, memory_space=pltpu.VMEM),
             pl.BlockSpec((w_in, g3), w0, memory_space=pltpu.VMEM),
@@ -1227,7 +1293,10 @@ def _bwd_call_split(x, resf, resb, hpf, hpb, dyf, dyb, wif, wib, whf, whb,
             pl.BlockSpec((h, g3), w0, memory_space=pltpu.VMEM),
             pl.BlockSpec((h, g3), w0, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), w0, memory_space=pltpu.VMEM),
-        ],
+        ] + ([
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+        ] if inkernel_hp else []),
         out_specs=[
             pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
@@ -1257,12 +1326,15 @@ def _bwd_call_split(x, resf, resb, hpf, hpb, dyf, dyb, wif, wib, whf, whb,
             pltpu.VMEM((b, h), jnp.float32),
             pltpu.VMEM((chunk, b, g3), jnp.float32),
             pltpu.VMEM((chunk, b, g3), jnp.float32),
-        ],
+        ] + ([
+            pltpu.VMEM((chunk, b, h), ysf.dtype),  # hpf tile
+            pltpu.VMEM((chunk, b, h), ysb.dtype),  # hpb tile
+        ] if inkernel_hp else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_SPLIT_VMEM_LIMIT),
         interpret=interpret,
-    )(x, x, resf, resb, hpf, hpb, dyf, dyb, wif, wib, whf, whb,
-      lengths.astype(jnp.int32).reshape(b, 1))
+    )(x, x, resf, resb, ysf, ysb, dyf, dyb, wif, wib, whf, whb,
+      lengths.astype(jnp.int32).reshape(b, 1), *hp_ops)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10,))
@@ -1292,14 +1364,11 @@ def _vjp_fwd_split(x, wif, wib, bif, bib, whf, whb, bhf, bhb, lengths,
 def _vjp_bwd_split(interpret, resids, dy):
     x, wif, wib, whf, whb, lengths, ysf, ysb, resf, resb = resids
     dyf, dyb = dy
-    # previous hidden state per direction, kernel order (ysb is emitted in
-    # original order, so kernel order = global flip — a pure lax.rev)
-    hpf = jnp.concatenate([jnp.zeros_like(ysf[:1]), ysf[:-1]], axis=0)
-    ysb_k = jnp.flip(ysb, axis=0)
-    hpb = jnp.concatenate([jnp.zeros_like(ysb_k[:1]), ysb_k[:-1]], axis=0)
+    # previous-state construction (full hp planes or in-kernel tiles per
+    # INKERNEL_HP) lives in _bwd_call_split
     (dxf, dxb, dwif, dwib, dbif, dbib, dwhf, dwhb, dbhf,
      dbhb) = _bwd_call_split(
-        x, resf, resb, hpf, hpb, dyf, dyb, wif, wib, whf, whb, lengths,
+        x, resf, resb, ysf, ysb, dyf, dyb, wif, wib, whf, whb, lengths,
         interpret=interpret)
     dx = (dxf.astype(jnp.float32) + dxb.astype(jnp.float32)).astype(x.dtype)
     return (dx, dwif.astype(wif.dtype), dwib.astype(wib.dtype),
@@ -1462,19 +1531,45 @@ def _lstm_fwd_call_split(x, wif, wib, bif2, bib2, whf, whb, lengths, *,
 # ----------------------------------------------------- LSTM, split backward
 
 
-def _lstm_bwd_kernel_split(t_total, chunk, h, n_chunks,
-                           xf_ref, xr_ref, resf_ref, resb_ref, hpf_ref,
-                           hpb_ref, cpf_ref, cpb_ref, dyf_ref, dyb_ref,
-                           wif_ref, wib_ref, whf_ref, whb_ref, len_ref,
-                           dxf_ref, dxb_ref, dwif_ref, dwib_ref, dbif_ref,
-                           dbib_ref, dwhf_ref, dwhb_ref,
-                           dhf_ref, dhb_ref, dcf_ref, dcb_ref,
-                           dxgf_ref, dxgb_ref):
+def _lstm_bwd_kernel_split(t_total, chunk, h, n_chunks, inkernel_hp, *refs):
+    if inkernel_hp:
+        (xf_ref, xr_ref, resf_ref, resb_ref, ysf_ref, ysb_ref,
+         csf_ref, csb_ref, dyf_ref, dyb_ref,
+         wif_ref, wib_ref, whf_ref, whb_ref, len_ref,
+         bf_ref, bb_ref, cbf_ref, cbb_ref, *rest) = refs
+        *rest, hpf_t, hpb_t, cpf_t, cpb_t = rest  # scratch tiles
+    else:
+        (xf_ref, xr_ref, resf_ref, resb_ref, hpf_t, hpb_t,
+         cpf_t, cpb_t, dyf_ref, dyb_ref,
+         wif_ref, wib_ref, whf_ref, whb_ref, len_ref, *rest) = refs
+    (dxf_ref, dxb_ref, dwif_ref, dwib_ref, dbif_ref,
+     dbib_ref, dwhf_ref, dwhb_ref,
+     dhf_ref, dhb_ref, dcf_ref, dcb_ref,
+     dxgf_ref, dxgb_ref) = rest
     i = pl.program_id(0)
     c_idx = n_chunks - 1 - i
     b = xf_ref.shape[1]
     w_in = xf_ref.shape[2]
     g4 = 4 * h
+
+    if inkernel_hp:
+        # previous-state tiles built into VMEM scratch (see the GRU kernel
+        # note; ref-indexed — Mosaic has no dynamic_slice on values).
+        # ysf: original==kernel order -> one-row shift with a boundary row.
+        # ysb: ORIGINAL order (fwdm block + in-block flip, dyb convention).
+        # csf/csb: saved in KERNEL order for both directions -> pure
+        # one-row shifts, no flip.
+        ysb_blk = ysb_ref[:]
+        hpf_t[:] = jnp.concatenate(
+            [bf_ref[:], ysf_ref[: chunk - 1]], axis=0)
+        hpb_t[:] = jnp.concatenate(
+            [bb_ref[:]] + [ysb_blk[chunk - u][None] for u in range(1, chunk)],
+            axis=0)
+        cpf_t[:] = jnp.concatenate(
+            [cbf_ref[:], csf_ref[: chunk - 1]], axis=0)
+        cpb_t[:] = jnp.concatenate(
+            [cbb_ref[:], csb_ref[: chunk - 1]], axis=0)
+    # else: planes prebuilt by XLA pad glue arrive as the *_t input refs
 
     @pl.when(i == 0)
     def _():
@@ -1510,8 +1605,8 @@ def _lstm_bwd_kernel_split(t_total, chunk, h, n_chunks,
         dc_b = dh_b * o_b * (1.0 - tc_b * tc_b) + dcb_ref[:]
         dpre_i_f = dc_f * g_f * ii_f * (1.0 - ii_f)
         dpre_i_b = dc_b * g_b * ii_b * (1.0 - ii_b)
-        dpre_f_f = dc_f * cpf_ref[t] * f_f * (1.0 - f_f)
-        dpre_f_b = dc_b * cpb_ref[t] * f_b * (1.0 - f_b)
+        dpre_f_f = dc_f * cpf_t[t] * f_f * (1.0 - f_f)
+        dpre_f_b = dc_b * cpb_t[t] * f_b * (1.0 - f_b)
         dpre_g_f = dc_f * ii_f * (1.0 - g_f * g_f)
         dpre_g_b = dc_b * ii_b * (1.0 - g_b * g_b)
         dpre_o_f = do_f * o_f * (1.0 - o_f)
@@ -1536,10 +1631,10 @@ def _lstm_bwd_kernel_split(t_total, chunk, h, n_chunks,
         dcb_ref[:] = jnp.where(valid_b, dc_b * f_b, dc_b)
         if not CHUNK_DW:
             dwhf_ref[:] += jnp.dot(
-                hpf_ref[t].T.astype(whf_ref.dtype), dgates_f_c,
+                hpf_t[t].T.astype(whf_ref.dtype), dgates_f_c,
                 preferred_element_type=jnp.float32)
             dwhb_ref[:] += jnp.dot(
-                hpb_ref[t].T.astype(whb_ref.dtype), dgates_b_c,
+                hpb_t[t].T.astype(whb_ref.dtype), dgates_b_c,
                 preferred_element_type=jnp.float32)
         return 0
 
@@ -1551,11 +1646,11 @@ def _lstm_bwd_kernel_split(t_total, chunk, h, n_chunks,
         # dgates, so one [H, chunk*B] @ [chunk*B, 4H] dot per direction
         # replaces `chunk` serial 64-deep dots with no temporaries at all.
         dwhf_ref[:] += jnp.dot(
-            hpf_ref[:].reshape(chunk * b, h).T.astype(whf_ref.dtype),
+            hpf_t[:].reshape(chunk * b, h).T.astype(whf_ref.dtype),
             dxgf_ref[:].reshape(chunk * b, g4).astype(whf_ref.dtype),
             preferred_element_type=jnp.float32)
         dwhb_ref[:] += jnp.dot(
-            hpb_ref[:].reshape(chunk * b, h).T.astype(whb_ref.dtype),
+            hpb_t[:].reshape(chunk * b, h).T.astype(whb_ref.dtype),
             dxgb_ref[:].reshape(chunk * b, g4).astype(whb_ref.dtype),
             preferred_element_type=jnp.float32)
 
@@ -1581,14 +1676,43 @@ def _lstm_bwd_kernel_split(t_total, chunk, h, n_chunks,
     dbib_ref[:] += jnp.sum(dxg_b, axis=0, keepdims=True)
 
 
-def _lstm_bwd_call_split(x, resf, resb, hpf, hpb, cpf, cpb, dyf, dyb,
+def _lstm_bwd_call_split(x, resf, resb, ysf, ysb, csf, csb, dyf, dyb,
                          wif, wib, whf, whb, lengths, *, interpret):
     t, b, w_in = x.shape
     h = whf.shape[0]
     chunk = _pick_chunk_split(t, b, h, w_in, x.dtype, 4, True)
     n = t // chunk
     g4 = 4 * h
-    kern = functools.partial(_lstm_bwd_kernel_split, t, chunk, h, n)
+    inkernel_hp = INKERNEL_HP
+    if inkernel_hp:
+        # chunk-boundary rows [n, B, H] per stream (see the GRU call note);
+        # csf/csb are saved in KERNEL order for both directions, so their
+        # boundaries index kernel-order rows directly
+        hp_ops = (
+            jnp.concatenate(
+                [jnp.zeros_like(ysf[:1]), ysf[chunk - 1::chunk][: n - 1]],
+                axis=0),
+            jnp.concatenate(
+                [jnp.zeros_like(ysb[:1]),
+                 jnp.flip(ysb[chunk::chunk], axis=0)], axis=0),
+            jnp.concatenate(
+                [jnp.zeros_like(csf[:1]), csf[chunk - 1::chunk][: n - 1]],
+                axis=0),
+            jnp.concatenate(
+                [jnp.zeros_like(csb[:1]), csb[chunk - 1::chunk][: n - 1]],
+                axis=0),
+        )
+    else:  # legacy pad-glue planes
+        hpf = jnp.concatenate([jnp.zeros_like(ysf[:1]), ysf[:-1]], axis=0)
+        ysb_k = jnp.flip(ysb, axis=0)
+        hpb = jnp.concatenate([jnp.zeros_like(ysb_k[:1]), ysb_k[:-1]],
+                              axis=0)
+        cpf = jnp.concatenate([jnp.zeros_like(csf[:1]), csf[:-1]], axis=0)
+        cpb = jnp.concatenate([jnp.zeros_like(csb[:1]), csb[:-1]], axis=0)
+        ysf, ysb, csf, csb = hpf, hpb, cpf, cpb
+        hp_ops = ()
+    kern = functools.partial(_lstm_bwd_kernel_split, t, chunk, h, n,
+                             inkernel_hp)
     rev = lambda i, n=n: (n - 1 - i, 0, 0)  # noqa: E731
     fwdm = lambda i: (i, 0, 0)  # noqa: E731
     w0 = lambda i: (0, 0)  # noqa: E731
@@ -1600,8 +1724,12 @@ def _lstm_bwd_call_split(x, resf, resb, hpf, hpb, cpf, cpb, dyf, dyb,
             pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, 5 * h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, 5 * h), rev, memory_space=pltpu.VMEM),
+            # ysf/hpf (kernel==original order); ysb streams in ORIGINAL
+            # order under inkernel (fwdm + in-block flip), the legacy hpb
+            # plane is pre-flipped (rev); cs both kernel order
             pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, h), fwdm if inkernel_hp else rev,
+                         memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
@@ -1611,7 +1739,12 @@ def _lstm_bwd_call_split(x, resf, resb, hpf, hpb, cpf, cpb, dyf, dyb,
             pl.BlockSpec((h, g4), w0, memory_space=pltpu.VMEM),
             pl.BlockSpec((h, g4), w0, memory_space=pltpu.VMEM),
             pl.BlockSpec((b, 1), w0, memory_space=pltpu.VMEM),
-        ],
+        ] + ([
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
+        ] if inkernel_hp else []),
         out_specs=[
             pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
@@ -1639,12 +1772,17 @@ def _lstm_bwd_call_split(x, resf, resb, hpf, hpb, cpf, cpb, dyf, dyb,
             pltpu.VMEM((b, h), jnp.float32),
             pltpu.VMEM((chunk, b, g4), jnp.float32),
             pltpu.VMEM((chunk, b, g4), jnp.float32),
-        ],
+        ] + ([
+            pltpu.VMEM((chunk, b, h), ysf.dtype),  # hpf tile
+            pltpu.VMEM((chunk, b, h), ysb.dtype),  # hpb tile
+            pltpu.VMEM((chunk, b, h), csf.dtype),  # cpf tile
+            pltpu.VMEM((chunk, b, h), csb.dtype),  # cpb tile
+        ] if inkernel_hp else []),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_SPLIT_VMEM_LIMIT),
         interpret=interpret,
-    )(x, x, resf, resb, hpf, hpb, cpf, cpb, dyf, dyb, wif, wib, whf, whb,
-      lengths.astype(jnp.int32).reshape(b, 1))
+    )(x, x, resf, resb, ysf, ysb, csf, csb, dyf, dyb, wif, wib, whf, whb,
+      lengths.astype(jnp.int32).reshape(b, 1), *hp_ops)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(8,))
@@ -1675,13 +1813,10 @@ def _lstm_vjp_bwd_split(interpret, resids, dy):
     (x, wif, wib, whf, whb, lengths, ysf, ysb, csf, csb, resf,
      resb) = resids
     dyf, dyb = dy
-    hpf = jnp.concatenate([jnp.zeros_like(ysf[:1]), ysf[:-1]], axis=0)
-    ysb_k = jnp.flip(ysb, axis=0)
-    hpb = jnp.concatenate([jnp.zeros_like(ysb_k[:1]), ysb_k[:-1]], axis=0)
-    cpf = jnp.concatenate([jnp.zeros_like(csf[:1]), csf[:-1]], axis=0)
-    cpb = jnp.concatenate([jnp.zeros_like(csb[:1]), csb[:-1]], axis=0)
+    # previous-state construction (full planes or in-kernel tiles per
+    # INKERNEL_HP) lives in _lstm_bwd_call_split
     dxf, dxb, dwif, dwib, dbif, dbib, dwhf, dwhb = _lstm_bwd_call_split(
-        x, resf, resb, hpf, hpb, cpf, cpb, dyf, dyb, wif, wib, whf, whb,
+        x, resf, resb, ysf, ysb, csf, csb, dyf, dyb, wif, wib, whf, whb,
         lengths, interpret=interpret)
     dx = (dxf.astype(jnp.float32) + dxb.astype(jnp.float32)).astype(x.dtype)
     return (dx, dwif.astype(wif.dtype), dwib.astype(wib.dtype),

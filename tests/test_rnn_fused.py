@@ -244,3 +244,33 @@ def test_split_vmem_estimate_within_limit():
                                    include_dw=True)
                 assert est * 1.3 <= F._SPLIT_VMEM_LIMIT, (
                     t, b, h, w_in, g, lstm, dtype, chunk, est)
+
+
+@pytest.mark.parametrize("lstm", [False, True], ids=["gru", "lstm"])
+def test_fused_layer_inkernel_hp_off_grads_match(monkeypatch, lstm):
+    """PVA_RNN_INKERNEL_HP=0 (legacy XLA pad-glue previous-state planes)
+    must produce grads identical to the default in-kernel-tile form — the
+    two read the SAME ys rows, so outputs are bit-equal — and both match
+    XLA.  Ragged lengths exercise the boundary rows across chunk edges."""
+    mk, run = (_mk_lstm, _run_lstm) if lstm else (_mk, _run)
+    layer, x, lengths = mk(seed=37)
+    w = jnp.asarray(
+        np.random.default_rng(41).normal(size=(8, 64, 256)).astype(np.float32))
+    w = w * R.length_mask(lengths, 64).astype(jnp.float32)[:, :, None]
+
+    def loss(layer, x, use_pallas):
+        return jnp.sum(run(layer, x, lengths, 128, use_pallas, split=True) * w)
+
+    monkeypatch.setattr(F, "INKERNEL_HP", False)
+    l_off, g_off = jax.value_and_grad(loss, argnums=(0, 1))(layer, x, True)
+    monkeypatch.setattr(F, "INKERNEL_HP", True)
+    l_on, g_on = jax.value_and_grad(loss, argnums=(0, 1))(layer, x, True)
+    l_x, g_x = jax.value_and_grad(loss, argnums=(0, 1))(layer, x, False)
+    np.testing.assert_allclose(float(l_on), float(l_x), rtol=1e-5)
+    for a, b_ in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_x)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b_), atol=3e-5, rtol=2e-4)
+    # on-vs-off: identical reads, identical math — exact
+    assert float(l_on) == float(l_off)
+    for a, b_ in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
