@@ -353,12 +353,49 @@ def _run_stack_fused_tm(
     out = jnp.swapaxes(x_run, 0, 1)  # [T, B, W]
     drop_site = train and dropout_rate > 0.0 and rng is not None
     keep = 1.0 - dropout_rate
+    from . import hashmask
+    from . import rnn_fused_pallas as F
+
+    # Fused layer boundaries (PVA_RNN_FUSED_BOUNDARY, GRU split stack):
+    # layers 1+ consume the previous layer's raw halves and run
+    # concat*mask [-> hash dropout] in-kernel; the rng split sequence and
+    # the strided fmix32 stream are IDENTICAL to the glue path below, so
+    # the flag never changes values (tests/test_rnn_fused.py).
+    use_bnd = (F.FUSED_BOUNDARY and F.SPLIT and cell == "gru"
+               and len(layers) > 1
+               and (not drop_site or hashmask.MODEL_DROPOUT))
+    if use_bnd:
+        ysf = ysb = None
+        pend = (None, None, None)  # (seed, thresh, inv_keep) for boundary
+        for li, layer in enumerate(layers):
+            if li == 0:
+                ysf, ysb = _fused_layer_tm(cell, layer, out, len_run, h,
+                                           interpret)
+            else:
+                lf, lb = layer["fwd"], layer["bwd"]
+                seed, thresh, inv = pend
+                ysf, ysb = F.gru_bidir_fused_split_bnd(
+                    ysf, ysb, lf["wi"], lb["wi"], lf["bi"], lb["bi"],
+                    lf["wh"], lb["wh"], lf["bh"], lb["bh"], len_run,
+                    jnp.uint32(0) if seed is None else seed,
+                    interpret, thresh, inv)
+            if drop_site and li < len(layers) - 1:
+                rng, sub = jax.random.split(rng)
+                pend = (hashmask.rng_seed_u32(sub),
+                        hashmask.threshold(keep), 1.0 / keep)
+            else:
+                pend = (None, None, None)
+        out = jnp.concatenate([ysf, ysb], axis=-1) * mask_tb
+        out = jnp.swapaxes(out, 0, 1)
+        if b_pad:
+            out = out[:b_sz]
+        return out
+
     for li, layer in enumerate(layers):
         ysf, ysb = _fused_layer_tm(cell, layer, out, len_run, h, interpret)
         out = jnp.concatenate([ysf, ysb], axis=-1) * mask_tb
         if drop_site and li < len(layers) - 1:
             rng, sub = jax.random.split(rng)
-            from . import hashmask
 
             if hashmask.MODEL_DROPOUT:
                 # batch-major-strided mask: identical stream to the

@@ -872,6 +872,24 @@ CHUNK_DW = _os.environ.get("PVA_RNN_CHUNK_DW", "1") == "1"
 # tools/ab_rnn_inkernel_hp.py; both paths grad-parity-tested).
 INKERNEL_HP = _os.environ.get("PVA_RNN_INKERNEL_HP", "1") == "1"
 
+# Fused layer boundaries in the time-major GRU stack: layers 1+ consume the
+# previous layer's raw direction halves and run the stack glue's boundary
+# ops (concat * mask -> strided hash dropout) inside the kernel via
+# ``gru_bidir_fused_split_bnd`` — removing the [T, B, 2H] concat
+# materialization, the dropout where pass, and their VJPs (round-5
+# by-source table: ~0.6 ms of the 5.6 ms bigru step).  The dropout stream
+# is bit-identical to the glue's ``hashmask.keep_mask`` draw, so flipping
+# the flag never changes values (pinned by
+# tests/test_rnn_fused.py::test_fused_boundary_matches_glue).
+# MEASURED NEGATIVE (bigru train 5.873 vs 5.746 ms/step, -2.2% —
+# tools/ab_rnn_fused_boundary.py, 2026-08-20): each boundary element is
+# consumed by BOTH direction streams (fwdm + rev block views), so the
+# in-kernel form pays mask+hash+where TWICE per element on the projection
+# stage's critical path, outweighing the saved one-pass XLA fusions; the
+# glue also left the x operand a plain prefetchable input stream.  Kept
+# OFF as a tested escape hatch (docs/PERF_NOTES.md round-5 entry).
+FUSED_BOUNDARY = _os.environ.get("PVA_RNN_FUSED_BOUNDARY", "0") == "1"
+
 # Explicit scoped-VMEM limit for the split kernels, mirroring the flash
 # kernel's fix for the round-4 lesson: the chipless AOT compile helper (the
 # driver's compile-check path and profile_step_trace) enforces the default
@@ -947,10 +965,55 @@ def _pick_chunk_split(t, b, h, w_in, dtype, g, lstm):
 # ------------------------------------------------------- GRU, split forward
 
 
-def _fwd_kernel_split(t_total, chunk, h, train,
-                      xf_ref, xr_ref, wif_ref, wib_ref, bif_ref, bib_ref,
-                      whf_ref, whb_ref, bhf_ref, bhb_ref, len_ref,
-                      ysf_ref, ysb_ref, *rest):
+def _boundary_tile(xa_ref, xb_ref, len_ref, base_t, boundary, key, t_total,
+                   chunk):
+    """Build one maskdropped layer-boundary input tile [chunk, B, 2H] from
+    raw previous-layer half blocks (rows in ORIGINAL time order starting at
+    global row ``base_t``), mirroring the XLA stack glue exactly:
+    ``concat([ysf, ysb]) * mask_tb`` then ``where(km, out * (1/keep), 0)``
+    with the identical fmix32 stream (index ``(b*T + t)*2H + c``)."""
+    has_drop, thresh, inv_keep = boundary
+    b = xa_ref.shape[1]
+    h2 = 2 * xa_ref.shape[2]
+    xt = jnp.concatenate([xa_ref[:], xb_ref[:]], axis=-1)
+    tt = base_t + jax.lax.broadcasted_iota(jnp.int32, (chunk, b, 1), 0)
+    valid = tt < len_ref[:].reshape(1, b, 1)
+    xt = xt * valid.astype(xt.dtype)
+    if has_drop:
+        idx = (
+            jnp.uint32(base_t * h2)
+            + jax.lax.broadcasted_iota(jnp.uint32, (chunk, b, h2), 0)
+            * jnp.uint32(h2)
+            + jax.lax.broadcasted_iota(jnp.uint32, (chunk, b, h2), 1)
+            * jnp.uint32((t_total * h2) & 0xFFFFFFFF)
+            + jax.lax.broadcasted_iota(jnp.uint32, (chunk, b, h2), 2)
+        )
+        km = _fmix32(idx ^ key) < jnp.uint32(thresh)
+        xt = jnp.where(km, xt * jnp.asarray(inv_keep, xt.dtype),
+                       jnp.zeros((), xt.dtype))
+        return xt, valid, km
+    return xt, valid, None
+
+
+def _fmix32(v):
+    """murmur3 finalizer (hashmask.fmix32 inlined — uint32 ops only)."""
+    v = v ^ (v >> 16)
+    v = v * jnp.uint32(0x85EBCA6B)
+    v = v ^ (v >> 13)
+    v = v * jnp.uint32(0xC2B2AE35)
+    v = v ^ (v >> 16)
+    return v
+
+
+def _fwd_kernel_split(t_total, chunk, h, train, n_chunks, boundary, *refs):
+    if boundary is not None:
+        (xaf_ref, xbf_ref, xar_ref, xbr_ref, *refs) = refs
+        if boundary[0]:
+            key_ref, *refs = refs
+    (xf_ref, xr_ref, wif_ref, wib_ref, bif_ref, bib_ref,
+     whf_ref, whb_ref, bhf_ref, bhb_ref, len_ref,
+     ysf_ref, ysb_ref, *rest) = ((None, None) + tuple(refs)
+                                 if boundary is not None else tuple(refs))
     if train:
         resf_ref, resb_ref, hf_ref, hb_ref, xgf_ref, xgb_ref = rest
     else:
@@ -963,13 +1026,27 @@ def _fwd_kernel_split(t_total, chunk, h, train,
         hf_ref[:] = jnp.zeros_like(hf_ref)
         hb_ref[:] = jnp.zeros_like(hb_ref)
 
-    b = xf_ref.shape[1]
-    w_in = xf_ref.shape[2]
+    if boundary is not None:
+        b = xaf_ref.shape[1]
+        w_in = 2 * xaf_ref.shape[2]
+        key = (_fmix32(key_ref[0, 0] + jnp.uint32(0x9E3779B9))
+               if boundary[0] else None)
+        xf_tile, _, _ = _boundary_tile(
+            xaf_ref, xbf_ref, len_ref, i * chunk, boundary, key, t_total,
+            chunk)
+        xr_tile, _, _ = _boundary_tile(
+            xar_ref, xbr_ref, len_ref, (n_chunks - 1 - i) * chunk, boundary,
+            key, t_total, chunk)
+        xf2d = xf_tile.reshape(chunk * b, w_in)
+        xr2d = xr_tile.reshape(chunk * b, w_in)
+    else:
+        b = xf_ref.shape[1]
+        w_in = xf_ref.shape[2]
+        xf2d = xf_ref[:].reshape(chunk * b, w_in)
+        xr2d = xr_ref[:].reshape(chunk * b, w_in)
     g3 = 3 * h
 
     # dense per-direction projections (torch wi layout), off the chain
-    xf2d = xf_ref[:].reshape(chunk * b, w_in)
-    xr2d = xr_ref[:].reshape(chunk * b, w_in)
     xgf_ref[:] = jnp.dot(
         xf2d, wif_ref[:], preferred_element_type=jnp.float32
     ).reshape(chunk, b, g3)
@@ -1024,35 +1101,63 @@ def _fwd_kernel_split(t_total, chunk, h, train,
 
 
 def _fwd_call_split(x, wif, wib, bif, bib, whf, whb, bhf, bhb, lengths, *,
-                    train, interpret):
-    t, b, w_in = x.shape
+                    train, interpret, halves=None, boundary=None, seed=None):
+    """``halves=(xa, xb)`` + ``boundary=(has_drop, thresh, inv_keep)``
+    selects the fused-boundary form: the layer input is the previous
+    layer's raw direction halves, and the stack glue's
+    ``concat * mask [-> dropout]`` runs inside the kernel (``seed`` is the
+    boundary's dropout stream seed, a traced uint32 scalar)."""
+    if halves is not None:
+        xa, xb = halves
+        t, b, hh = xa.shape
+        w_in = 2 * hh
+        dtype = xa.dtype
+    else:
+        t, b, w_in = x.shape
+        dtype = x.dtype
     h = whf.shape[0]
-    chunk = _pick_chunk_split(t, b, h, w_in, x.dtype, 3, False)
+    chunk = _pick_chunk_split(t, b, h, w_in, dtype, 3, False)
     n = t // chunk
     g3 = 3 * h
-    kern = functools.partial(_fwd_kernel_split, t, chunk, h, train)
+    kern = functools.partial(_fwd_kernel_split, t, chunk, h, train, n,
+                             boundary if halves is not None else None)
     fwdm = lambda i: (i, 0, 0)  # noqa: E731
     rev = lambda i, n=n: (n - 1 - i, 0, 0)  # noqa: E731
     w0 = lambda i: (0, 0)  # noqa: E731
+    if halves is not None:
+        half_spec = pl.BlockSpec((chunk, b, hh), fwdm,
+                                 memory_space=pltpu.VMEM)
+        half_spec_r = pl.BlockSpec((chunk, b, hh), rev,
+                                   memory_space=pltpu.VMEM)
+        x_in_specs = [half_spec, half_spec, half_spec_r, half_spec_r]
+        x_ops = [xa, xb, xa, xb]
+        if boundary[0]:
+            x_in_specs.append(
+                pl.BlockSpec((1, 1), w0, memory_space=pltpu.VMEM))
+            x_ops.append(seed.astype(jnp.uint32).reshape(1, 1))
+    else:
+        x_in_specs = [
+            pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
+        ]
+        x_ops = [x, x]
     out_shape = [
-        jax.ShapeDtypeStruct((t, b, h), x.dtype),  # ysf (original order)
-        jax.ShapeDtypeStruct((t, b, h), x.dtype),  # ysb (original order)
+        jax.ShapeDtypeStruct((t, b, h), dtype),  # ysf (original order)
+        jax.ShapeDtypeStruct((t, b, h), dtype),  # ysb (original order)
     ]
     out_specs = [
         pl.BlockSpec((chunk, b, h), fwdm, memory_space=pltpu.VMEM),
         pl.BlockSpec((chunk, b, h), rev, memory_space=pltpu.VMEM),
     ]
     if train:  # residuals per direction, kernel order
-        out_shape += [jax.ShapeDtypeStruct((t, b, 4 * h), x.dtype)] * 2
+        out_shape += [jax.ShapeDtypeStruct((t, b, 4 * h), dtype)] * 2
         out_specs += [
             pl.BlockSpec((chunk, b, 4 * h), fwdm, memory_space=pltpu.VMEM)
         ] * 2
     return pl.pallas_call(
         kern,
         grid=(n,),
-        in_specs=[
-            pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
+        in_specs=x_in_specs + [
             pl.BlockSpec((w_in, g3), w0, memory_space=pltpu.VMEM),
             pl.BlockSpec((w_in, g3), w0, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g3), w0, memory_space=pltpu.VMEM),
@@ -1074,7 +1179,7 @@ def _fwd_call_split(x, wif, wib, bif, bib, whf, whb, bhf, bhb, lengths, *,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_SPLIT_VMEM_LIMIT),
         interpret=interpret,
-    )(x, x, wif, wib, bif.reshape(1, g3), bib.reshape(1, g3), whf, whb,
+    )(*x_ops, wif, wib, bif.reshape(1, g3), bib.reshape(1, g3), whf, whb,
       bhf.reshape(1, g3), bhb.reshape(1, g3),
       lengths.astype(jnp.int32).reshape(b, 1))
 
@@ -1082,24 +1187,58 @@ def _fwd_call_split(x, wif, wib, bif, bib, whf, whb, bhf, bhb, lengths, *,
 # ------------------------------------------------------ GRU, split backward
 
 
-def _bwd_kernel_split(t_total, chunk, h, n_chunks, inkernel_hp, *refs):
+def _bwd_kernel_split(t_total, chunk, h, n_chunks, inkernel_hp, boundary,
+                      *refs):
+    if boundary is not None:
+        (xaf_ref, xbf_ref, xar_ref, xbr_ref, *refs) = refs
+        if boundary[0]:
+            key_ref, *refs = refs
+        xf_ref = xr_ref = None
+    else:
+        (xf_ref, xr_ref, *refs) = refs
     if inkernel_hp:
-        (xf_ref, xr_ref, resf_ref, resb_ref, ysf_ref, ysb_ref,
+        (resf_ref, resb_ref, ysf_ref, ysb_ref,
          dyf_ref, dyb_ref, wif_ref, wib_ref, whf_ref, whb_ref,
          len_ref, bf_ref, bb_ref, *rest) = refs
         *rest, hpf_t, hpb_t = rest  # hp scratch tiles (built below)
     else:
-        (xf_ref, xr_ref, resf_ref, resb_ref, hpf_t, hpb_t,
+        (resf_ref, resb_ref, hpf_t, hpb_t,
          dyf_ref, dyb_ref, wif_ref, wib_ref, whf_ref, whb_ref,
          len_ref, *rest) = refs
-    (dxf_ref, dxb_ref, dwif_ref, dwib_ref, dbif_ref,
+    if boundary is not None:
+        (dxfa_ref, dxfb_ref, dxba_ref, dxbb_ref, *rest) = rest
+    else:
+        (dxf_ref, dxb_ref, *rest) = rest
+    (dwif_ref, dwib_ref, dbif_ref,
      dbib_ref, dwhf_ref, dwhb_ref, dbhf_ref, dbhb_ref,
      dhf_ref, dhb_ref, dxgf_ref, dxgb_ref) = rest
     i = pl.program_id(0)
     c = n_chunks - 1 - i  # kernel chunk index (reverse walk)
-    b = xf_ref.shape[1]
-    w_in = xf_ref.shape[2]
+    b = resf_ref.shape[1]
+    w_in = (2 * xaf_ref.shape[2] if boundary is not None
+            else xf_ref.shape[2])
     g3 = 3 * h
+
+    if boundary is not None:
+        # rebuild the maskdropped boundary input tiles (identical fmix32
+        # stream to the forward) + the boundary VJP multipliers
+        key = (_fmix32(key_ref[0, 0] + jnp.uint32(0x9E3779B9))
+               if boundary[0] else None)
+        xf_tile, valid_f, km_f = _boundary_tile(
+            xaf_ref, xbf_ref, len_ref, c * chunk, boundary, key, t_total,
+            chunk)
+        xr_tile, valid_r, km_r = _boundary_tile(
+            xar_ref, xbr_ref, len_ref, (n_chunks - 1 - c) * chunk, boundary,
+            key, t_total, chunk)
+
+        def _mul(valid, km):
+            m = valid.astype(jnp.float32)
+            if km is not None:
+                m = m * jnp.where(km, jnp.float32(boundary[2]),
+                                  jnp.float32(0.0))
+            return m
+
+        mul_f, mul_r = _mul(valid_f, km_f), _mul(valid_r, km_r)
 
     if inkernel_hp:
         # hp tiles built into VMEM scratch from the ys streams (ref-indexed
@@ -1218,20 +1357,38 @@ def _bwd_kernel_split(t_total, chunk, h, n_chunks, inkernel_hp, *refs):
 
     # per-chunk projection backward: gate grads are ALREADY dense per
     # direction — no de-interleave, just the flip pairing x_rev rows
-    xf2d = xf_ref[:].reshape(chunk * b, w_in)
-    xr2d = xr_ref[:].reshape(chunk * b, w_in)
+    if boundary is not None:
+        xf2d = xf_tile.reshape(chunk * b, w_in)
+        xr2d = xr_tile.reshape(chunk * b, w_in)
+    else:
+        xf2d = xf_ref[:].reshape(chunk * b, w_in)
+        xr2d = xr_ref[:].reshape(chunk * b, w_in)
     dxg_f = dxgf_ref[:].reshape(chunk * b, g3)
     dxg_b = jnp.concatenate(
         [dxgb_ref[chunk - 1 - u] for u in range(chunk)], axis=0
     ).reshape(chunk * b, g3)
-    dxf_ref[:] = jnp.dot(
+    dx_f = jnp.dot(
         dxg_f.astype(wif_ref.dtype), wif_ref[:].T,
         preferred_element_type=jnp.float32
-    ).reshape(chunk, b, w_in).astype(dxf_ref.dtype)
-    dxb_ref[:] = jnp.dot(
+    ).reshape(chunk, b, w_in)
+    dx_b = jnp.dot(
         dxg_b.astype(wib_ref.dtype), wib_ref[:].T,
         preferred_element_type=jnp.float32
-    ).reshape(chunk, b, w_in).astype(dxb_ref.dtype)
+    ).reshape(chunk, b, w_in)
+    if boundary is not None:
+        # boundary VJP in-kernel: d(ys half) = dx * mask [* km/keep],
+        # halves split along the feature axis (replaces the glue's
+        # dropout-where VJP + concat-VJP slices)
+        hh = w_in // 2
+        dx_f = dx_f * mul_f
+        dx_b = dx_b * mul_r
+        dxfa_ref[:] = dx_f[:, :, :hh].astype(dxfa_ref.dtype)
+        dxfb_ref[:] = dx_f[:, :, hh:].astype(dxfb_ref.dtype)
+        dxba_ref[:] = dx_b[:, :, :hh].astype(dxba_ref.dtype)
+        dxbb_ref[:] = dx_b[:, :, hh:].astype(dxbb_ref.dtype)
+    else:
+        dxf_ref[:] = dx_f.astype(dxf_ref.dtype)
+        dxb_ref[:] = dx_b.astype(dxb_ref.dtype)
     dwif_ref[:] += jnp.dot(
         xf2d.T, dxg_f.astype(xf2d.dtype), preferred_element_type=jnp.float32)
     dwib_ref[:] += jnp.dot(
@@ -1241,10 +1398,18 @@ def _bwd_kernel_split(t_total, chunk, h, n_chunks, inkernel_hp, *refs):
 
 
 def _bwd_call_split(x, resf, resb, ysf, ysb, dyf, dyb, wif, wib, whf, whb,
-                    lengths, *, interpret):
-    t, b, w_in = x.shape
+                    lengths, *, interpret, halves=None, boundary=None,
+                    seed=None):
+    if halves is not None:
+        xa, xb = halves
+        t, b, hh = xa.shape
+        w_in = 2 * hh
+        dtype = xa.dtype
+    else:
+        t, b, w_in = x.shape
+        dtype = x.dtype
     h = whf.shape[0]
-    chunk = _pick_chunk_split(t, b, h, w_in, x.dtype, 3, False)
+    chunk = _pick_chunk_split(t, b, h, w_in, dtype, 3, False)
     n = t // chunk
     g3 = 3 * h
     inkernel_hp = INKERNEL_HP
@@ -1268,16 +1433,41 @@ def _bwd_call_split(x, resf, resb, ysf, ysb, dyf, dyb, wif, wib, whf, whb,
                               axis=0)
         ysf, ysb = hpf, hpb
         hp_ops = ()
-    kern = functools.partial(_bwd_kernel_split, t, chunk, h, n, inkernel_hp)
+    kern = functools.partial(_bwd_kernel_split, t, chunk, h, n, inkernel_hp,
+                             boundary if halves is not None else None)
     rev = lambda i, n=n: (n - 1 - i, 0, 0)  # noqa: E731
     fwdm = lambda i: (i, 0, 0)  # noqa: E731
     w0 = lambda i: (0, 0)  # noqa: E731
+    if halves is not None:
+        half_rev = pl.BlockSpec((chunk, b, hh), rev, memory_space=pltpu.VMEM)
+        half_fwd = pl.BlockSpec((chunk, b, hh), fwdm,
+                                memory_space=pltpu.VMEM)
+        x_in_specs = [half_rev, half_rev, half_fwd, half_fwd]
+        x_ops = [xa, xb, xa, xb]
+        if boundary[0]:
+            x_in_specs.append(
+                pl.BlockSpec((1, 1), w0, memory_space=pltpu.VMEM))
+            x_ops.append(seed.astype(jnp.uint32).reshape(1, 1))
+        dx_specs = [half_rev, half_rev, half_fwd, half_fwd]
+        dx_shapes = [jax.ShapeDtypeStruct((t, b, hh), dtype)] * 4
+    else:
+        x_in_specs = [
+            pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
+        ]
+        x_ops = [x, x]
+        dx_specs = [
+            pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
+            pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
+        ]
+        dx_shapes = [
+            jax.ShapeDtypeStruct((t, b, w_in), dtype),   # dxf
+            jax.ShapeDtypeStruct((t, b, w_in), dtype),   # dxb (orig order)
+        ]
     return pl.pallas_call(
         kern,
         grid=(n,),
-        in_specs=[
-            pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
+        in_specs=x_in_specs + [
             pl.BlockSpec((chunk, b, 4 * h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((chunk, b, 4 * h), rev, memory_space=pltpu.VMEM),
             # ysf (or legacy hpf): kernel order = original order.  ysb is
@@ -1297,9 +1487,7 @@ def _bwd_call_split(x, resf, resb, ysf, ysb, dyf, dyb, wif, wib, whf, whb,
             pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, b, h), rev, memory_space=pltpu.VMEM),
         ] if inkernel_hp else []),
-        out_specs=[
-            pl.BlockSpec((chunk, b, w_in), rev, memory_space=pltpu.VMEM),
-            pl.BlockSpec((chunk, b, w_in), fwdm, memory_space=pltpu.VMEM),
+        out_specs=dx_specs + [
             pl.BlockSpec((w_in, g3), w0, memory_space=pltpu.VMEM),
             pl.BlockSpec((w_in, g3), w0, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g3), w0, memory_space=pltpu.VMEM),
@@ -1309,9 +1497,7 @@ def _bwd_call_split(x, resf, resb, ysf, ysb, dyf, dyb, wif, wib, whf, whb,
             pl.BlockSpec((1, g3), w0, memory_space=pltpu.VMEM),
             pl.BlockSpec((1, g3), w0, memory_space=pltpu.VMEM),
         ],
-        out_shape=[
-            jax.ShapeDtypeStruct((t, b, w_in), x.dtype),   # dxf
-            jax.ShapeDtypeStruct((t, b, w_in), x.dtype),   # dxb (orig order)
+        out_shape=dx_shapes + [
             jax.ShapeDtypeStruct((w_in, g3), jnp.float32),
             jax.ShapeDtypeStruct((w_in, g3), jnp.float32),
             jax.ShapeDtypeStruct((1, g3), jnp.float32),
@@ -1333,7 +1519,7 @@ def _bwd_call_split(x, resf, resb, ysf, ysb, dyf, dyb, wif, wib, whf, whb,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=_SPLIT_VMEM_LIMIT),
         interpret=interpret,
-    )(x, x, resf, resb, ysf, ysb, dyf, dyb, wif, wib, whf, whb,
+    )(*x_ops, resf, resb, ysf, ysb, dyf, dyb, wif, wib, whf, whb,
       lengths.astype(jnp.int32).reshape(b, 1), *hp_ops)
 
 
@@ -1378,6 +1564,66 @@ def _vjp_bwd_split(interpret, resids, dy):
 
 
 gru_bidir_fused_split.defvjp(_vjp_fwd_split, _vjp_bwd_split)
+
+
+# ----------------------------------------- GRU, split + fused layer boundary
+
+
+def _bnd(thresh, inv_keep):
+    return (thresh is not None, 0 if thresh is None else int(thresh),
+            1.0 if inv_keep is None else float(inv_keep))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(12, 13, 14))
+def gru_bidir_fused_split_bnd(xa, xb, wif, wib, bif, bib, whf, whb, bhf,
+                              bhb, lengths, seed, interpret=False,
+                              thresh=None, inv_keep=None):
+    """:func:`gru_bidir_fused_split` consuming the PREVIOUS layer's raw
+    direction halves ``xa/xb [T, B, H]`` with the stack glue's boundary ops
+    — ``concat([ysf, ysb]) * mask_tb`` then (train) the strided fmix32
+    hash dropout — fused INTO the kernel (identical mask stream to
+    ``hashmask.keep_mask(strides=(2H, T*2H, 1))``; ``seed`` is the
+    boundary's uint32 stream seed, ignored when ``thresh`` is None).
+    Removes the boundary's XLA materializations: the [T, B, 2H] concat
+    write, the dropout where pass, the concat-VJP slices, and the dropout
+    VJP (round-5 by-source table, rnn.py:358/:370)."""
+    ysf, ysb = _fwd_call_split(
+        None, wif, wib, bif, bib, whf, whb, bhf, bhb, lengths, train=False,
+        interpret=interpret, halves=(xa, xb),
+        boundary=_bnd(thresh, inv_keep), seed=seed)
+    return ysf, ysb
+
+
+def _vjp_fwd_split_bnd(xa, xb, wif, wib, bif, bib, whf, whb, bhf, bhb,
+                       lengths, seed, interpret, thresh, inv_keep):
+    ysf, ysb, resf, resb = _fwd_call_split(
+        None, wif, wib, bif, bib, whf, whb, bhf, bhb, lengths, train=True,
+        interpret=interpret, halves=(xa, xb),
+        boundary=_bnd(thresh, inv_keep), seed=seed)
+    return (ysf, ysb), (xa, xb, wif, wib, whf, whb, lengths, seed,
+                        ysf, ysb, resf, resb)
+
+
+def _vjp_bwd_split_bnd(interpret, thresh, inv_keep, resids, dy):
+    (xa, xb, wif, wib, whf, whb, lengths, seed, ysf, ysb, resf,
+     resb) = resids
+    dyf, dyb = dy
+    (dxfa, dxfb, dxba, dxbb, dwif, dwib, dbif, dbib, dwhf, dwhb, dbhf,
+     dbhb) = _bwd_call_split(
+        None, resf, resb, ysf, ysb, dyf, dyb, wif, wib, whf, whb, lengths,
+        interpret=interpret, halves=(xa, xb),
+        boundary=_bnd(thresh, inv_keep), seed=seed)
+    dxa = (dxfa.astype(jnp.float32) + dxba.astype(jnp.float32)
+           ).astype(xa.dtype)
+    dxb_ = (dxfb.astype(jnp.float32) + dxbb.astype(jnp.float32)
+            ).astype(xb.dtype)
+    return (dxa, dxb_, dwif.astype(wif.dtype), dwib.astype(wib.dtype),
+            dbif.reshape(-1), dbib.reshape(-1),
+            dwhf.astype(whf.dtype), dwhb.astype(whb.dtype),
+            dbhf.reshape(-1), dbhb.reshape(-1), None, None)
+
+
+gru_bidir_fused_split_bnd.defvjp(_vjp_fwd_split_bnd, _vjp_bwd_split_bnd)
 
 
 # ------------------------------------------------------ LSTM, split forward

@@ -274,3 +274,39 @@ def test_fused_layer_inkernel_hp_off_grads_match(monkeypatch, lstm):
     assert float(l_on) == float(l_off)
     for a, b_ in zip(jax.tree.leaves(g_on), jax.tree.leaves(g_off)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
+
+
+@pytest.mark.parametrize("train", [False, True], ids=["eval", "train"])
+def test_fused_boundary_matches_glue(monkeypatch, train):
+    """PVA_RNN_FUSED_BOUNDARY (layer-boundary concat*mask -> hash dropout
+    fused into the next layer's kernel) must be BIT-identical to the XLA
+    glue path in values and grads: the in-kernel fmix32 stream reproduces
+    ``hashmask.keep_mask(strides=(2H, T*2H, 1))`` element-for-element and
+    the rng split sequence is unchanged.  4-layer stack, ragged lengths,
+    dropout active in train mode."""
+    rng = jax.random.PRNGKey(11)
+    layers = R.init_rnn(rng, 16, 128, 4, bidirectional=True, n_gates=3)
+    x = jnp.asarray(
+        np.random.default_rng(43).normal(size=(8, 64, 16)).astype(np.float32))
+    lengths = jnp.asarray(np.linspace(21, 64, 8).astype(np.int32))
+    w = jnp.asarray(
+        np.random.default_rng(47).normal(size=(8, 64, 256)).astype(np.float32))
+
+    def loss(layers, x, bnd):
+        monkeypatch.setattr(F, "FUSED_BOUNDARY", bnd)
+        orig = R.USE_PALLAS
+        R.USE_PALLAS = True
+        try:
+            out = R._run_stack_fused_tm(
+                "gru", layers, x, lengths, 128,
+                dropout_rate=0.5 if train else 0.0, train=train,
+                rng=jax.random.PRNGKey(7) if train else None)
+        finally:
+            R.USE_PALLAS = orig
+        return jnp.sum(out * w)
+
+    l1, g1 = jax.value_and_grad(loss, argnums=(0, 1))(layers, x, True)
+    l0, g0 = jax.value_and_grad(loss, argnums=(0, 1))(layers, x, False)
+    assert float(l1) == float(l0)
+    for a, b_ in zip(jax.tree.leaves(g1), jax.tree.leaves(g0)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b_))
