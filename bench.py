@@ -564,7 +564,12 @@ def main():
             try:
                 os.makedirs(os.path.dirname(REF_CACHE), exist_ok=True)
                 with open(REF_CACHE, "w") as f:
-                    json.dump({headline: ref}, f)
+                    json.dump({headline: ref,
+                               "provenance": "live torch-CPU ref from the "
+                               "most recent successful bench.py run; used "
+                               "as the vs_baseline fallback (marked "
+                               "vs_baseline_source) when the driver kill "
+                               "window truncates the ref task"}, f)
             except OSError:
                 pass
         emit()
